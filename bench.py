@@ -1,0 +1,94 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "pagerank": {...}}
+
+The headline metric follows BASELINE.json: edges processed per second
+per PageRank superstep, running PageRank to 1e-6 L1 convergence on the
+co-occurrence edge table derived from the lineitem table (the same
+derivation the correctness gate checks against DuckDB). ``value`` is
+total wall seconds across the headline queries (lower is better);
+``pagerank.edges_per_sec_per_superstep`` is the throughput metric.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+bench_scripts/scaling.py into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    from cryptowalletcommunitydetection_spark import build_session
+    from cryptowalletcommunitydetection_spark import entry_queries as EQ
+    from cryptowalletcommunitydetection_spark.graph.pagerank import pagerank
+
+    spark = build_session(
+        app_name="cwcd-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # headline: derive the SF-scaling bipartite edge table once, persist,
+    # run PageRank to 1e-6 (the BASELINE.json metric kernel)
+    edges = EQ._bipartite_edges(spark, sf_dir)
+    n_edges = timed("edge_derivation", lambda: edges.cache().count())
+
+    t0 = time.monotonic()
+    res = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100)
+    pr_wall = time.monotonic() - t0
+    timings["pagerank_1e6"] = round(pr_wall, 3)
+    # directed edge traversals per superstep = 2x canonical edges
+    edges_per_sec = (2 * n_edges * res.supersteps) / pr_wall if pr_wall else 0.0
+
+    timed("cc_components", lambda: EQ.q_cc_components(spark, sf_dir).count())
+    timed("triangles", lambda: EQ.q_triangles(spark, sf_dir).count())
+    timed("lpa", lambda: EQ.q_lpa_fixed(spark, sf_dir).count())
+    timed("community_rollup", lambda: EQ.q_community_rollup(spark, sf_dir).count())
+    timed("group_agg", lambda: EQ.q_group_agg(spark, sf_dir).count())
+    timed("exact_dedup", lambda: EQ.q_exact_dedup(spark, sf_dir).count())
+    timed("minhash_candidates", lambda: EQ.q_minhash_candidates(spark, sf_dir).count())
+    timed("embedding_topk", lambda: EQ.q_embedding_topk(spark, sf_dir).count())
+    timed("token_count", lambda: EQ.q_token_count(spark, sf_dir).count())
+
+    return {
+        "metric": "headline_queries_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "pagerank": {
+            "n_edges_canonical": n_edges,
+            "supersteps": res.supersteps,
+            "converged": res.converged,
+            "wall_sec": round(pr_wall, 3),
+            "edges_per_sec_per_superstep": round(edges_per_sec, 1),
+        },
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run_bench(sf_dir, cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

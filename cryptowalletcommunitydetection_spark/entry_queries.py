@@ -1,0 +1,608 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each ``QUERIES`` entry is an operator from SURVEY.md §2 exercised over
+the driver test tables (TPC-H-ish star schema + events/documents/
+embeddings). Where ANSI SQL can express the same computation, ``ORACLES``
+holds the DuckDB-equivalent statement — built for *exact* value
+agreement (same IEEE operation order where floats are produced, rounding
+applied symmetrically on iterative outputs).
+
+Graph queries derive edge tables relationally so the oracle is
+SQL-expressible (the files-table extraction path has its own pytest
+oracle in tests/test_edges.py):
+
+- co-occurrence graph: suppliers co-appearing in an order (l_quantity
+  >= 48 keeps it non-degenerate at sf0.01: |V|=100, |E|=403, 126
+  triangles, diameter 4),
+- community graph: same-nation customer-supplier trade edges (25
+  components at sf0.01) — the analogue of the reference's wallet-pair
+  clustering input (services/wallet_clustering.py:51-59).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .graph.cc import connected_components
+from .graph.edges import cooccurrence_edges
+from .graph.lpa import label_propagation
+from .graph.pagerank import pagerank
+from .graph.rollup import bipartite_group_rollup
+from .graph.triangles import triangles_per_vertex
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
+
+QTY_CUT = 48  # lineitem quantity cut for the co-occurrence graph
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- graphs
+
+def _cooccur_edges(spark, sf_dir) -> DataFrame:
+    """Supplier co-occurrence within orders — G2 edge derivation with a
+    relational extractor (SQL-expressible twin of the files-table path)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= QTY_CUT)
+        .select("l_orderkey", "l_suppkey")
+    )
+    return cooccurrence_edges(
+        li, group_cols=("l_orderkey",), entity_col="l_suppkey",
+        max_entities_per_group=None,
+    )
+
+
+_COOCCUR_SQL = f"""
+ents AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= {QTY_CUT}),
+ce AS (SELECT a.l_suppkey AS src, b.l_suppkey AS dst, count(*) AS weight
+       FROM ents a JOIN ents b
+         ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       GROUP BY 1, 2)
+"""
+
+
+def _bipartite_edges(spark, sf_dir) -> DataFrame:
+    """Full customer<->supplier trade graph (scales with SF — the bench
+    kernel; ~500k edges at sf0.1). weight = co-trading lineitem count."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def q_bipartite_edges(spark, sf_dir):
+    return _bipartite_edges(spark, sf_dir)
+
+
+_BIPARTITE_SQL = """
+SELECT 'c' || o.o_custkey::VARCHAR AS src, 's' || l.l_suppkey::VARCHAR AS dst,
+       count(*) AS weight
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+"""
+
+
+def _trade_pairs(spark, sf_dir) -> DataFrame:
+    """Same-nation customer->supplier pairs (from_address/to_address shape)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("from_address"),
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("to_address"),
+        )
+        .distinct()
+    )
+
+
+_TRADE_SQL = """
+pairs AS (SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS src, 's' || s.s_suppkey::VARCHAR AS dst
+          FROM orders o
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey = s.s_nationkey)
+"""
+
+
+def _pagerank_sql(iters: int) -> str:
+    """Unrolled fixed-iteration PageRank mirroring graph/pagerank.py op
+    order: p = 1.0/deg first, then rank*p, base = (1.0-0.85)/n."""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+c{k} AS (SELECT s.dst AS id, sum(r.rank * (1.0 / deg.d)) AS contrib
+         FROM sym s JOIN r{k - 1} r ON s.src = r.id JOIN deg ON deg.id = s.src
+         GROUP BY s.dst),
+r{k} AS (SELECT v.id, ((1.0 - 0.85) / (SELECT n FROM nn)) + 0.85 * coalesce(c{k}.contrib, 0.0) AS rank
+         FROM v LEFT JOIN c{k} ON v.id = c{k}.id)""")
+    return (
+        "WITH " + _COOCCUR_SQL + """,
+sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce),
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
+v AS (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+r0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM v)"""
+        + "," + ",".join(its)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+def _lpa_sql(iters: int) -> str:
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+cnt{k} AS (SELECT s.dst AS id, l.label, count(*) AS c
+           FROM sym s JOIN l{k - 1} l ON s.src = l.id GROUP BY 1, 2),
+l{k} AS (SELECT id, label FROM (
+           SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+           FROM cnt{k}) WHERE rn = 1)""")
+    return (
+        "WITH " + _COOCCUR_SQL + """,
+sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce),
+v AS (SELECT DISTINCT src AS id FROM sym),
+l0 AS (SELECT id, id AS label FROM v)"""
+        + "," + ",".join(its)
+        + f"\nSELECT id, label FROM l{iters}"
+    )
+
+
+def _cc_iteration_ctes(iters: int) -> str:
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+m{k} AS (SELECT s.dst AS id, min(c.component) AS mn
+         FROM sym s JOIN c{k - 1} c ON s.src = c.id GROUP BY s.dst),
+c{k} AS (SELECT p.id, least(p.component, coalesce(m{k}.mn, p.component)) AS component
+         FROM c{k - 1} p LEFT JOIN m{k} ON p.id = m{k}.id)""")
+    return ",".join(its)
+
+
+_CC_PREFIX = (
+    "WITH " + _TRADE_SQL + """,
+sym AS (SELECT src, dst FROM pairs UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+v AS (SELECT DISTINCT src AS id FROM sym),
+c0 AS (SELECT id, id AS component FROM v),"""
+)
+
+
+def _cc_sql(iters: int) -> str:
+    return (
+        _CC_PREFIX + _cc_iteration_ctes(iters)
+        + f"\nSELECT id, component FROM c{iters}"
+    )
+
+
+def _rollup_sql(iters: int) -> str:
+    return (
+        _CC_PREFIX + _cc_iteration_ctes(iters)
+        + f""",
+snd AS (SELECT DISTINCT src AS id FROM pairs)
+SELECT cc.component,
+       count(*) FILTER (WHERE s.id IS NOT NULL)::INT AS num_user,
+       count(*) FILTER (WHERE s.id IS NULL)::INT AS num_depo
+FROM c{iters} cc LEFT JOIN snd s ON cc.id = s.id
+GROUP BY cc.component
+"""
+    )
+
+
+_TRIANGLES_SQL = (
+    "WITH " + _COOCCUR_SQL + """,
+allv AS (SELECT src AS id FROM ce UNION ALL SELECT dst FROM ce),
+deg AS (SELECT id, count(*) AS d FROM allv GROUP BY 1),
+dedges AS (SELECT CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.src ELSE e.dst END AS a,
+                  CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.dst ELSE e.src END AS b
+           FROM ce e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id),
+tri AS (SELECT e1.a, e1.b, e2.b AS c
+        FROM dedges e1 JOIN dedges e2 ON e1.b = e2.a
+        WHERE EXISTS (SELECT 1 FROM dedges e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+per AS (SELECT id, count(*) AS n FROM corners GROUP BY 1)
+SELECT v.id, coalesce(per.n, 0) AS triangles
+FROM (SELECT DISTINCT id FROM deg) v LEFT JOIN per ON v.id = per.id
+"""
+)
+
+
+def q_cooccur_edges(spark, sf_dir):
+    return _cooccur_edges(spark, sf_dir).select(
+        "src", "dst", F.col("weight").alias("weight")
+    )
+
+
+def q_pagerank_fixed(spark, sf_dir):
+    edges = _cooccur_edges(spark, sf_dir)
+    res = pagerank(spark, edges, alpha=0.85, tol=0.0, max_iter=12, weighted=False)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_lpa_fixed(spark, sf_dir):
+    edges = _cooccur_edges(spark, sf_dir)
+    res = label_propagation(spark, edges, max_iter=4)
+    return res.labels
+
+
+def q_cc_components(spark, sf_dir):
+    pairs = _trade_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("from_address").alias("src"), F.col("to_address").alias("dst")
+    )
+    return connected_components(spark, edges)
+
+
+def q_triangles(spark, sf_dir):
+    return triangles_per_vertex(_cooccur_edges(spark, sf_dir))
+
+
+def q_community_rollup(spark, sf_dir):
+    pairs = _trade_pairs(spark, sf_dir)
+    return bipartite_group_rollup(spark, pairs).select(
+        "component", "num_user", "num_depo"
+    )
+
+
+# ------------------------------------------------------------ relational
+
+def q_filter_project_distinct(spark, sf_dir):
+    """S2/P1/P2: pushed-down range filter + projection + distinct."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_totalprice") > 200000.0)
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+def q_semi_join_agg(spark, sf_dir):
+    """J2 + A4: semi-join against a dimension + grouped count."""
+    orders = _t(spark, sf_dir, "orders")
+    bld = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return (
+        orders.join(F.broadcast(bld), "o_custkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """J3: customers that never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(orders, "c_custkey", "left_anti").select("c_custkey")
+
+
+def q_top1_per_group(spark, sf_dir):
+    """A6/W: argmax per key with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_group_agg(spark, sf_dir):
+    """A1-A5: multi-aggregate groupBy (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+def q_asof_last(spark, sf_dir):
+    """W1: last event at/before a cutoff per user (as-of lookup)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+def q_time_bucket(spark, sf_dir):
+    """W2/T2: tumbling daily buckets."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_explode_tokens(spark, sf_dir):
+    """X1: explode + count (token histogram over documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+# ----------------------------------------------------- dedup / text / ann
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("doc_id")
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.token_count("text").alias("n_tokens"))
+
+
+def q_lang_detect(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.detect_language("text").alias("lang_detected"))
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.5 via inverted-index self-join, string
+    shingles (no hashing) so the SQL twin is value-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+    cnt = F.size(words) - F.lit(2)
+    shingles = F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("_n").alias("_nb"))
+    out = common.join(na, "a").join(nb, "b").select(
+        "a", "b",
+        (F.col("_c") / (F.col("_na") + F.col("_nb") - F.col("_c"))).alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= 0.5)
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for the 5 lowest-id vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return sim.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+# ------------------------------------------------- rows-only (non-SQL ops)
+
+def q_minhash_candidates(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    return dd.minhash_lsh_candidates(sigs)
+
+
+def q_simhash_sigs(spark, sf_dir):
+    return dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    return tx.fingerprint_winnow(_t(spark, sf_dir, "documents"))
+
+
+def q_pagerank_converged(spark, sf_dir):
+    """The headline operator: PageRank run to 1e-6 L1 convergence."""
+    edges = _cooccur_edges(spark, sf_dir)
+    res = pagerank(spark, edges, tol=1e-6, weighted=True)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_files_edge_derivation(spark, sf_dir):
+    """North-rule path: synthetic files table -> extraction -> co-occurrence
+    edges (mapInPandas extraction is not SQL-expressible; pytest holds the
+    pure-Python oracle, tests/test_edges.py)."""
+    from . import datagen
+
+    files = datagen.gen_files(spark, n_repos=10, files_per_repo=10)
+    from .graph.edges import derive_edges
+
+    return derive_edges(files)
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return sim.lsh_topk(emb, queries, k=10, planes=6).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+QUERIES = {
+    # graph core (SURVEY §2.9)
+    "cooccur_edges": q_cooccur_edges,
+    "bipartite_edges": q_bipartite_edges,
+    "pagerank_fixed12": q_pagerank_fixed,
+    "pagerank_converged": q_pagerank_converged,
+    "lpa_fixed4": q_lpa_fixed,
+    "cc_components": q_cc_components,
+    "triangles_per_vertex": q_triangles,
+    "community_rollup": q_community_rollup,
+    "files_edge_derivation": q_files_edge_derivation,
+    # relational surface (SURVEY §2.1-2.6)
+    "filter_project_distinct": q_filter_project_distinct,
+    "semi_join_agg": q_semi_join_agg,
+    "anti_join": q_anti_join,
+    "top1_per_group": q_top1_per_group,
+    "group_agg": q_group_agg,
+    "asof_last": q_asof_last,
+    "time_bucket": q_time_bucket,
+    "explode_tokens": q_explode_tokens,
+    # training-data ops
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "lang_detect": q_lang_detect,
+    "jaccard_pairs": q_jaccard_pairs,
+    "embedding_topk": q_embedding_topk,
+    "minhash_candidates": q_minhash_candidates,
+    "simhash_sigs": q_simhash_sigs,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "lsh_topk": q_lsh_topk,
+}
+
+
+def _lang_detect_sql() -> str:
+    hits = []
+    for lang, sw in sorted(tx.STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in sw)
+        hits.append(f"len(list_intersect(ws, [{lst}])) AS h_{lang}")
+    langs = sorted(tx.STOPWORDS)
+    g = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {g} <= 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN h_{l} = {g} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws FROM documents),
+h AS (SELECT doc_id, {", ".join(hits)} FROM w)
+SELECT doc_id, {case} AS lang_detected FROM h
+"""
+
+
+ORACLES = {
+    "cooccur_edges": "WITH " + _COOCCUR_SQL + "SELECT src, dst, weight FROM ce",
+    "bipartite_edges": _BIPARTITE_SQL,
+    "pagerank_fixed12": _pagerank_sql(12),
+    "lpa_fixed4": _lpa_sql(4),
+    "cc_components": _cc_sql(8),
+    "triangles_per_vertex": _TRIANGLES_SQL,
+    "community_rollup": _rollup_sql(8),
+    "filter_project_distinct": """
+SELECT DISTINCT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice > 200000.0
+""",
+    "semi_join_agg": """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+""",
+    "anti_join": """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    "top1_per_group": """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn = 1
+""",
+    "group_agg": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    "asof_last": """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1
+""",
+    "time_bucket": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+""",
+    "explode_tokens": """
+SELECT token, count(*) AS n
+FROM documents, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(token)
+GROUP BY token HAVING count(*) >= 5
+""",
+    "exact_dedup": r"""
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY lower(regexp_replace(text, '\s+', ' ', 'g'))
+""",
+    "token_count": r"""
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+FROM documents
+""",
+    "lang_detect": _lang_detect_sql(),
+    "jaccard_pairs": """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents),
+sh AS (SELECT doc_id, sh FROM toks,
+       unnest(list_distinct(CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
+         ELSE []::VARCHAR[] END)) AS u(sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, c / (na.n + nb.n - c) AS jaccard
+FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
+WHERE c / (na.n + nb.n - c) >= 0.5
+""",
+    "embedding_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(q.query_vec, e.embedding) AS cos
+           FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+""",
+}

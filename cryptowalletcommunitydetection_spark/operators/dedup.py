@@ -1,0 +1,219 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-aware and Python-free on the hot path:
+
+- exact: hash-groupBy on normalized content (keep min id),
+- MinHash + LSH: shingle -> 64 deterministic min-hashes -> bands ->
+  bucket join -> candidate pairs (optionally verified with exact
+  Jaccard). Banding keeps the candidate join linear in near-dup count
+  instead of O(n²),
+- SimHash: 64-bit signature from token hashes, near-dup via banded
+  Hamming join,
+- n-gram Jaccard: exact similarity via inverted-index self-join
+  (token -> docs) — the verification oracle for the sketch variants,
+- embedding cosine: see operators/similarity.py (near-dup = cos >= τ).
+
+Determinism: every hash is xxhash64 with a fixed literal seed — reruns
+produce identical signatures (required for resumable pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1 as the universal-hash modulus: shingle hashes are
+# first reduced mod p so a_i * h + b_i stays far inside int64 (ANSI mode
+# overflow-checks multiplication). Parameters (a_i, b_i) derive
+# deterministically from the permutation index.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one row (min id) per distinct content. Hash-groupBy — the
+    partial aggregation handles heavy duplicate groups without skew."""
+    key = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize else F.col(text_col)
+    keyed = df.withColumn("_k", F.sha2(key, 256))
+    keep = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, [ "_k", id_col], "left_semi").drop("_k")
+
+
+def word_shingles(text_col, n: int = 3):
+    """Array of word n-gram shingle hashes (xxhash64, seed 42)."""
+    words = F.regexp_extract_all(F.lower(text_col if not isinstance(text_col, str) else F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    cnt = F.size(words) - F.lit(n - 1)
+    return F.when(
+        cnt >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)), F.lit(42)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 64, shingle_n: int = 3,
+) -> DataFrame:
+    """DataFrame[id, sig array<long>] — per-doc MinHash signature.
+
+    One explode + one groupBy with ``num_hashes`` algebraic min
+    aggregates (map-side combinable → duplicate-heavy corpora don't
+    skew)."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("h"))
+    sh = sh.withColumn("h", F.pmod(F.col("h"), F.lit(_MERSENNE)))
+    aggs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd multiplier
+        b = (1_000_003 * (i + 1) + 17) % _MERSENNE
+        perm = F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))
+        aggs.append(F.min(perm).alias(f"mh_{i}"))
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = 16, rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+
+    Output: DataFrame[a, b] with a < b, distinct. The self-join is on
+    (band_idx, band_hash) — bucket sizes are tiny for random data, and a
+    pathological bucket (mass duplication) is exactly the case where the
+    pairs are true duplicates."""
+    nb = bands * rows_per_band
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast("string"),
+                        F.lit(7),
+                    ).alias("bh"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bh")
+    l = banded.select(F.col("_id").alias("a"), "band", "bh")
+    r = banded.select(F.col("_id").alias("b"), "band", "bh")
+    return (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def estimate_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature-agreement Jaccard estimate for candidate pairs."""
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
+    j = pairs.join(sa, "a").join(sb, "b")
+    agree = F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v))
+    return j.select("a", "b", (agree / F.size("_sa")).alias("est_jaccard"))
+
+
+def exact_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for ALL intersecting pairs via inverted-index
+    self-join: explode shingles, join on shingle, count common, divide by
+    union size. SQL-expressible — this is the oracle for the sketches."""
+    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("h"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col(id_col).alias("a"), "h")
+    b = sh.select(F.col(id_col).alias("b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("_n").alias("_nb"))
+    out = (
+        common.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b",
+            (F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: sign of per-bit vote sums over token hashes.
+
+    Output: DataFrame[id, simhash long]. Explode + 64 algebraic sums —
+    map-side combinable."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+            )
+        ).alias("w"),
+    ).withColumn("h", F.xxhash64("w", F.lit(42)))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        # shiftleft wraps at bit 63 inside the JVM (no Python-int overflow)
+        bit = F.when(
+            F.col(f"v_{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_near_dups(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via the
+    pigeonhole band join: split the 64-bit signature into ``chunks``
+    16-bit pieces; any pair within distance < chunks shares a piece."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    banded = sims.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("piece"),
+                )
+                for i in range(chunks)
+            ])
+        ).alias("cp"),
+    ).select("_id", "simhash", "cp.chunk", "cp.piece")
+    l = banded.select(F.col("_id").alias("a"), F.col("simhash").alias("_ha"), "chunk", "piece")
+    r = banded.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "chunk", "piece")
+    cand = l.join(r, ["chunk", "piece"]).filter(F.col("a") < F.col("b"))
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,152 @@
+"""Relational operator surface (SURVEY.md §2.2-2.6).
+
+The reference hand-rolls these over Mongo cursors and Python dicts; here
+each is a declarative DataFrame expression Catalyst can push down,
+prune, and broadcast. Reference citations inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def semi_join(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """J2 — membership filter (`to_address IN hot_wallets`,
+    databases/blockchain_etl.py:56-66). Broadcast when small: Catalyst/AQE
+    decide; the keys side is usually a dimension table."""
+    return df.join(F.broadcast(keys), on, "left_semi")
+
+
+def anti_join(df: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFrame:
+    """J3 — exclude rows whose key appears in ``keys`` (hot-wallet sender
+    skip, jobs/exchange_deposit_wallets_job.py:107-109)."""
+    return df.join(F.broadcast(keys), on, "left_anti")
+
+
+def distinct_senders(
+    df: DataFrame, to_keys: DataFrame, lo: int, hi: int,
+    from_col: str = "from_address", to_col: str = "to_address",
+    block_col: str = "block_number",
+) -> DataFrame:
+    """S2 — the reference's pushed SQL scan (databases/postgresql.py:27-37):
+    SELECT from_address FROM transfer_event WHERE to_address = ANY(...)
+    AND block_number BETWEEN lo AND hi GROUP BY from_address."""
+    keys = to_keys.withColumnRenamed(to_keys.columns[0], to_col)
+    return (
+        df.filter(F.col(block_col).between(lo, hi))
+        .join(F.broadcast(keys), to_col, "left_semi")
+        .select(from_col)
+        .distinct()
+    )
+
+
+def native_transfer_filter(
+    df: DataFrame, input_col: str = "input", value_col: str = "value",
+    status_col: str = "receipt_status",
+) -> DataFrame:
+    """P4 — native transfers: input == '0x' AND value != '0' AND
+    receipt_status == 1 (databases/blockchain_etl.py:68-75). The
+    reference compares value as a string; cast at ingest (SURVEY §1.1)."""
+    return df.filter(
+        (F.col(input_col) == "0x")
+        & (F.col(value_col).cast("decimal(38,0)") != 0)
+        & (F.col(status_col) == 1)
+    )
+
+
+def recency_filter(
+    df: DataFrame, key: str, ts: str, cutoff: int
+) -> DataFrame:
+    """P7 — keep keys whose latest event is at/after cutoff
+    (jobs/lending_wallets_job.py:68-78: 30-day recency on change-logs)."""
+    latest = df.groupBy(key).agg(F.max(ts).alias("_latest"))
+    keep = latest.filter(F.col("_latest") >= F.lit(cutoff)).select(key)
+    return df.join(keep, key, "left_semi")
+
+
+def top1_per_key(df: DataFrame, key: str, order_col: str, desc: bool = True) -> DataFrame:
+    """A6 — argmax per key (latest pairId via sort+find_one,
+    databases/mongodb.py:167-174)."""
+    w = Window.partitionBy(key).orderBy(
+        F.desc(order_col) if desc else F.asc(order_col)
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def group_set_union(
+    df: DataFrame, key: str, tag_col: str | None = None,
+    struct_cols: list[str] | None = None,
+) -> DataFrame:
+    """A2/A9 — the reference's driver-dict wallet accumulation
+    (jobs/exchange_deposit_wallets_job.py:71,106-119) + $addToSet merge
+    (databases/mongodb.py:110-118): per key, set-union of tags and of
+    protocol structs. Arrays are sorted for deterministic output."""
+    aggs = []
+    if tag_col:
+        aggs.append(F.sort_array(F.collect_set(tag_col)).alias("tags"))
+    if struct_cols:
+        aggs.append(
+            F.sort_array(F.collect_set(F.struct(*struct_cols))).alias("protocols")
+        )
+    return df.groupBy(key).agg(*aggs)
+
+
+def tumbling_slices(
+    df: DataFrame, ts: str, period: int, slice_col: str = "slice_start"
+) -> DataFrame:
+    """T2 — tumbling time slices: the reference's
+    ``range(start, end, period)`` work partitioning
+    (jobs/exchange_deposit_wallets_job.py:67) becomes a partition column;
+    Spark schedules slices as tasks instead of thread-pool batches."""
+    return df.withColumn(
+        slice_col, (F.floor(F.col(ts) / F.lit(period)) * F.lit(period)).cast("long")
+    )
+
+
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    set_union_cols: list[str] | None = None,
+    last_write_cols: list[str] | None = None,
+) -> DataFrame:
+    """S9 — Mongo bulk UpdateOne($set + $addToSet, upsert=True)
+    (databases/mongodb.py:68-164) as a DataFrame merge:
+
+    - rows only in ``updates`` are inserted,
+    - matched rows take update values for ``last_write_cols`` ($set),
+    - matched array columns in ``set_union_cols`` are set-unioned
+      ($addToSet), sorted for determinism.
+
+    On an Iceberg/Delta catalog this is a single MERGE INTO; the
+    DataFrame formulation keeps identical semantics on plain Parquet.
+    """
+    set_union_cols = set_union_cols or []
+    last_write_cols = last_write_cols or [
+        c for c in updates.columns if c not in keys and c not in set_union_cols
+    ]
+    e = existing.select(
+        *keys,
+        *[F.col(c).alias(f"_e_{c}") for c in last_write_cols + set_union_cols],
+    )
+    u = updates.select(
+        *keys,
+        *[F.col(c).alias(f"_u_{c}") for c in last_write_cols + set_union_cols],
+    )
+    j = e.join(u, keys, "full_outer")
+    out_cols = [F.col(k) for k in keys]
+    for c in last_write_cols:
+        out_cols.append(F.coalesce(F.col(f"_u_{c}"), F.col(f"_e_{c}")).alias(c))
+    for c in set_union_cols:
+        out_cols.append(
+            F.sort_array(
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col(f"_e_{c}"), F.array()),
+                        F.coalesce(F.col(f"_u_{c}"), F.array()),
+                    )
+                )
+            ).alias(c)
+        )
+    return j.select(*out_cols)

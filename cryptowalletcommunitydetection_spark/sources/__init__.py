@@ -1,0 +1,2 @@
+from .files import read_files, read_wallet_pairs_csv, write_files  # noqa: F401
+from .sinks import quarantine_sink, write_groups  # noqa: F401

@@ -1,0 +1,58 @@
+"""Connected components vs NetworkX oracle (SURVEY.md §5 item 2a)."""
+
+import pytest
+
+from cryptowalletcommunitydetection_spark import datagen
+from cryptowalletcommunitydetection_spark.graph import connected_components
+from tests.oracles import nx_components
+
+SHAPES = {
+    "ring": datagen.ring(12),
+    "star": datagen.star(15),
+    "two_cliques": datagen.two_cliques_bridge(5),
+    "erdos_renyi": datagen.erdos_renyi(40, 0.04, seed=7),
+    "disconnected": datagen.ring(5) + [(100, 101), (102, 103), (101, 102)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHAPES))
+def test_cc_matches_networkx(spark, name):
+    pairs = SHAPES[name]
+    edges = datagen.edges_df(spark, pairs)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edges).collect()
+    }
+    assert got == nx_components(pairs)
+
+
+def test_cc_reference_fixture(spark, reference_pairs_pdf):
+    pairs = list(
+        reference_pairs_pdf.itertuples(index=False, name=None)
+    )
+    edges = spark.createDataFrame(
+        reference_pairs_pdf.rename(
+            columns={"from_address": "src", "to_address": "dst"}
+        ),
+        schema="src string, dst string",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edges).collect()
+    }
+    assert got == nx_components(pairs)
+
+
+def test_cc_isolated_vertices(spark):
+    edges = datagen.edges_df(spark, [(1, 2)])
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edges, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 9: 9}
+
+
+def test_cc_empty(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(spark, edges).count() == 0

@@ -1,0 +1,74 @@
+"""PageRank vs nx.pagerank(alpha=0.85) — allclose atol 1e-6 (BASELINE.md)."""
+
+import numpy as np
+import pytest
+
+from cryptowalletcommunitydetection_spark import datagen
+from cryptowalletcommunitydetection_spark.graph import canonicalize_edges, pagerank
+from tests.oracles import nx_pagerank
+
+SHAPES = {
+    "ring": datagen.ring(12),
+    "star": datagen.star(15),
+    "two_cliques": datagen.two_cliques_bridge(5),
+    "erdos_renyi": datagen.erdos_renyi(40, 0.04, seed=7),
+}
+
+
+def _compare(got_rows, oracle, atol=1e-6):
+    got = {r["id"]: r["rank"] for r in got_rows}
+    assert set(got) == set(oracle)
+    g = np.array([got[k] for k in sorted(got)])
+    o = np.array([oracle[k] for k in sorted(oracle)])
+    assert np.allclose(g, o, atol=atol), np.abs(g - o).max()
+
+
+@pytest.mark.parametrize("name", sorted(SHAPES))
+def test_pagerank_matches_networkx(spark, name):
+    pairs = SHAPES[name]
+    edges = datagen.edges_df(spark, pairs)
+    res = pagerank(spark, edges, tol=1e-8, weighted=False)
+    assert res.converged
+    _compare(res.ranks.collect(), nx_pagerank(pairs))
+
+
+def test_pagerank_weighted(spark):
+    pairs = [(1, 2, 3), (2, 3, 1), (1, 3, 5), (3, 4, 2)]
+    pdf_pairs = [(s, d) for s, d, _ in pairs]
+    edges = spark.createDataFrame(pairs, "src long, dst long, weight long")
+    res = pagerank(spark, edges, tol=1e-8, weighted=True)
+    _compare(res.ranks.collect(), nx_pagerank(pairs, weighted=True))
+    # and the unweighted view of the same edges
+    res_u = pagerank(spark, edges, tol=1e-8, weighted=False)
+    _compare(res_u.ranks.collect(), nx_pagerank(pdf_pairs))
+
+
+def test_pagerank_dangling_directed(spark):
+    # directed chain with a dangling sink — exercises dangling-mass term
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 3)]
+    oracle = nx_pagerank(pairs, directed=True)
+    edges = datagen.edges_df(spark, pairs)
+    res = pagerank(spark, edges, tol=1e-8, directed=True, weighted=False)
+    _compare(res.ranks.collect(), oracle)
+
+
+def test_pagerank_reference_fixture(spark, reference_pairs_pdf):
+    pairs = list(reference_pairs_pdf.itertuples(index=False, name=None))
+    edges = canonicalize_edges(
+        spark.createDataFrame(
+            reference_pairs_pdf.rename(
+                columns={"from_address": "src", "to_address": "dst"}
+            ),
+            schema="src string, dst string",
+        )
+    )
+    res = pagerank(spark, edges, tol=1e-8, weighted=False)
+    assert res.converged
+    _compare(res.ranks.collect(), nx_pagerank(pairs))
+
+
+def test_pagerank_copartition_strategy_same_result(spark):
+    pairs = datagen.erdos_renyi(30, 0.08, seed=3)
+    edges = datagen.edges_df(spark, pairs)
+    res = pagerank(spark, edges, tol=1e-8, strategy="copartition", weighted=False)
+    _compare(res.ranks.collect(), nx_pagerank(pairs))
