@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.checkpoint import RunManifest
-from .edges import symmetrize, vertices_of
+from .edges import canonicalize_edges, symmetrize, vertices_of
 
 # Above this vertex count the rank table is no longer broadcast.
 BROADCAST_MAX_VERTICES = 2_000_000
@@ -68,9 +68,17 @@ def pagerank(
     "auto" (broadcast while |V| ≤ 2M).
     """
     has_w = weighted and "weight" in edges.columns
-    e = edges if directed else symmetrize(edges, weight=has_w)
-    if not has_w:
-        e = e.select("src", "dst", F.lit(1).alias("weight"))
+    if directed:
+        e = edges
+        if not has_w:
+            e = e.select("src", "dst", F.lit(1).alias("weight"))
+    else:
+        # nx.Graph semantics: duplicate rows / reversed orientations
+        # collapse to one undirected edge (weights summed when weighted)
+        canon = canonicalize_edges(edges, weight="weight" if has_w else None)
+        if not has_w:
+            canon = canon.select("src", "dst", F.lit(1).alias("weight"))
+        e = symmetrize(canon, weight=True)
 
     verts = vertices_of(e)
     if vertices is not None:

@@ -32,7 +32,9 @@ def degree_histogram(edges: DataFrame, log_base: int = 10) -> DataFrame:
     deg = degrees(edges)
     return (
         deg.withColumn(
-            "bucket", F.floor(F.log(F.lit(float(log_base)), F.col("degree").cast("double")))
+            # +1e-9 guards against floor(log10(1000)=2.999...97) -> 2
+            "bucket",
+            F.floor(F.log(float(log_base), F.col("degree").cast("double")) + F.lit(1e-9)),
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vertices"), F.max("degree").alias("max_degree"))
