@@ -382,7 +382,14 @@ def q_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard >= 0.5 via inverted-index self-join, string
     shingles (no hashing) so the SQL twin is value-identical."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0)
+    # stage the tokenized words as a column: referencing the
+    # regexp_extract_all expression inside the transform lambda would
+    # re-run the regex once per shingle position (O(L^2))
+    staged = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z0-9]+"), 0).alias("_w"),
+    )
+    words = F.col("_w")
     cnt = F.size(words) - F.lit(2)
     shingles = F.when(
         cnt >= 1,
@@ -393,7 +400,7 @@ def q_jaccard_pairs(spark, sf_dir):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select("doc_id", F.explode(shingles).alias("sh"))
+    sh = staged.select("doc_id", F.explode(shingles).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col("doc_id").alias("a"), "sh")
     b = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -422,6 +429,195 @@ def q_embedding_topk(spark, sf_dir):
     )
     return sim.brute_force_topk(emb, queries, k=10).select(
         "query_id", "vec_id", "rank"
+    )
+
+
+# ------------------------------------- wider operator coverage (SURVEY §2)
+
+def q_collect_set_agg(spark, sf_dir):
+    """A2/A9: set-union accumulation per key (the reference's per-address
+    dict fold + $addToSet, jobs/exchange_deposit_wallets_job.py:106-119);
+    array joined to a string so the oracle compare is type-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_window_rank_lag(spark, sf_dir):
+    """W5: ranking + lag/lead frames over a per-key ordered sequence."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """X3/X5: union / intersect / except between key sets."""
+    cust = _t(spark, sf_dir, "customer")
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered = (
+        _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    rows = [
+        bld.intersect(ordered).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("building_with_orders").alias("op"), "n"
+        ),
+        bld.exceptAll(bld.join(ordered, "c_custkey", "left_semi")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).select(F.lit("building_never_ordered").alias("op"), "n"),
+        bld.unionByName(ordered).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("building_or_ordered").alias("op"), "n"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """A10: ROLLUP (nation, order-year) revenue with grand totals."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("string").alias("yr"),
+            "o_totalprice",
+        )
+    )
+    return (
+        j.rollup("n_name", "yr")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("yr", F.lit("ALL")).alias("yr"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+def q_carry_forward_sum(spark, sf_dir):
+    """A8: combined_logs(*logs, sum) — union timestamp grid, carry each
+    series' last value forward, sum across series
+    (utils/list_dict_utils.py:98-120). Series = event_type; input is
+    pre-aggregated per (series, ts) so window order is deterministic."""
+    from .functions.timeseries import carry_forward_sum
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("key"), "ts")
+        .agg(F.sum("value").alias("value"))
+    )
+    out = carry_forward_sum(ev, series="key", ts="ts", value="value")
+    return out.select("ts", F.round("combined", 4).alias("combined"))
+
+
+def q_json_extract(spark, sf_dir):
+    """F14: JSON field extraction from the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+def q_merge_upsert(spark, sf_dir):
+    """S9: upsert-merge with $set (last-write) + $addToSet (set-union)
+    semantics (databases/mongodb.py:68-164) on plain DataFrames."""
+    from .operators.relational import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.array("o_orderpriority").alias("tags"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.array(F.lit("upd"), "o_orderpriority").alias("tags"),
+    )
+    m = merge_upsert(
+        base, upd, ["o_orderkey"],
+        set_union_cols=["tags"], last_write_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return m.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.concat_ws(",", "tags").alias("tags"),
+    )
+
+
+def q_quarantine_split(spark, sf_dir):
+    """S11/T4: left join + null-branch side-output — rows referencing a
+    missing dimension key are quarantined, the rest pass through."""
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_size") < 25).select("p_partkey")
+    j = li.join(F.broadcast(dim), li.l_partkey == dim.p_partkey, "left")
+    return (
+        j.select(
+            F.when(F.col("p_partkey").isNull(), F.lit("quarantine"))
+            .otherwise(F.lit("ok"))
+            .alias("branch")
+        )
+        .groupBy("branch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_tumbling_window(spark, sf_dir):
+    """T2: tumbling hourly windows via F.window (streaming-compatible)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"), "n")
+    )
+
+
+def q_degree_distribution(spark, sf_dir):
+    """G1/G9: degree table + distribution — the hub-detection input."""
+    from .graph.edges import degrees
+
+    deg = degrees(_bipartite_edges(spark, sf_dir))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def q_parse_scalars(spark, sf_dir):
+    """F5/F6/F7: human-amount, percentage, and date-string parsing over
+    strings built deterministically from table columns."""
+    from .functions.scalar import parse_human_amount, parse_percentage
+
+    p = _t(spark, sf_dir, "part")
+    amt = F.concat(F.lit("$"), F.col("p_size").cast("string"), F.lit("k"))
+    pct = F.concat(F.col("p_size").cast("string"), F.lit("%"))
+    return p.select(
+        "p_partkey",
+        parse_human_amount(amt).alias("amount"),
+        parse_percentage(pct).alias("pct"),
+    )
+
+
+def q_date_roundtrip(spark, sf_dir):
+    """F7: date format + parse roundtrip to unix seconds (UTC session)."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp(s, "yyyy-MM-dd HH:mm:ss").alias("epoch_s"),
     )
 
 
@@ -492,6 +688,19 @@ QUERIES = {
     "asof_last": q_asof_last,
     "time_bucket": q_time_bucket,
     "explode_tokens": q_explode_tokens,
+    # wider operator coverage (SURVEY §2)
+    "collect_set_agg": q_collect_set_agg,
+    "window_rank_lag": q_window_rank_lag,
+    "set_ops": q_set_ops,
+    "rollup_revenue": q_rollup_revenue,
+    "carry_forward_sum": q_carry_forward_sum,
+    "json_extract": q_json_extract,
+    "merge_upsert": q_merge_upsert,
+    "quarantine_split": q_quarantine_split,
+    "tumbling_window": q_tumbling_window,
+    "degree_distribution": q_degree_distribution,
+    "parse_scalars": q_parse_scalars,
+    "date_roundtrip": q_date_roundtrip,
     # training-data ops
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -531,6 +740,85 @@ ORACLES = {
     "cc_components": _cc_sql(8),
     "triangles_per_vertex": _TRIANGLES_SQL,
     "community_rollup": _rollup_sql(8),
+    "collect_set_agg": """
+SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+""",
+    "window_rank_lag": """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS seq,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    "set_ops": """
+WITH bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+ord AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+SELECT 'building_with_orders' AS op, (SELECT count(*) FROM (SELECT * FROM bld INTERSECT SELECT * FROM ord)) AS n
+UNION ALL
+SELECT 'building_never_ordered', (SELECT count(*) FROM (SELECT * FROM bld EXCEPT SELECT * FROM ord))
+UNION ALL
+SELECT 'building_or_ordered', (SELECT count(*) FROM (SELECT * FROM bld UNION SELECT * FROM ord))
+""",
+    "rollup_revenue": """
+SELECT coalesce(n_name, 'ALL') AS nation, coalesce(yr, 'ALL') AS yr,
+       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM (SELECT n.n_name, year(o.o_orderdate)::VARCHAR AS yr, o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)
+GROUP BY ROLLUP (n_name, yr)
+""",
+    "carry_forward_sum": """
+WITH pre AS (SELECT event_type AS key, ts, sum(value) AS value FROM events GROUP BY 1, 2),
+grid AS (SELECT DISTINCT ts FROM pre),
+keys AS (SELECT DISTINCT key FROM pre),
+dense AS (SELECT k.key, g.ts FROM keys k CROSS JOIN grid g),
+joined AS (SELECT d.key, d.ts, p.value FROM dense d LEFT JOIN pre p ON d.key = p.key AND d.ts = p.ts),
+filled AS (SELECT ts, last_value(value IGNORE NULLS)
+             OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff
+           FROM joined)
+SELECT ts, round(sum(ff), 4) AS combined FROM filled GROUP BY ts
+""",
+    "json_extract": """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
+""",
+    "merge_upsert": """
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, [o_orderpriority] AS tags
+              FROM orders WHERE o_orderkey % 3 != 0),
+upd AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+               ['upd', o_orderpriority] AS tags
+        FROM orders WHERE o_orderkey % 2 = 0)
+SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       coalesce(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
+       array_to_string(list_sort(list_distinct(coalesce(b.tags, []) || coalesce(u.tags, []))), ',') AS tags
+FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+""",
+    "quarantine_split": """
+SELECT CASE WHEN p.p_partkey IS NULL THEN 'quarantine' ELSE 'ok' END AS branch, count(*) AS n
+FROM lineitem l LEFT JOIN (SELECT p_partkey FROM part WHERE p_size < 25) p
+  ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+    "tumbling_window": """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, count(*) AS n
+FROM events GROUP BY 1
+""",
+    "degree_distribution": """
+WITH e AS (""" + _BIPARTITE_SQL + """),
+allv AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT id, count(*) AS degree FROM allv GROUP BY 1)
+SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree
+""",
+    "parse_scalars": """
+SELECT p_partkey, p_size * 1000.0 AS amount, p_size / 100.0 AS pct FROM part
+""",
+    "date_roundtrip": """
+SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS epoch_s FROM orders
+""",
     "filter_project_distinct": """
 SELECT DISTINCT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice > 200000.0

@@ -89,23 +89,33 @@ def pagerank(
         return PageRankResult(verts.select("id", F.lit(0.0).alias("rank")), 0, True)
 
     np = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    broadcast_ranks = strategy == "broadcast" or (
+        strategy == "auto" and n <= BROADCAST_MAX_VERTICES
+    )
     out_w = e.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+    # Partitioning of the persisted transition table:
+    # - broadcast strategy: the scatter join is map-side, so partition by
+    #   dst — the gather's map-side partial agg then emits exactly one
+    #   row per dst per partition and the shuffle moves ~|V| rows,
+    # - copartition strategy: partition by src so the rank join is
+    #   co-partitioned.
+    part_key = "dst" if broadcast_ranks else "src"
     norm_edges = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("_wsum")).alias("p"))
-        .repartition(np, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .repartition(np, part_key)
     )
+    if not broadcast_ranks:
+        # pre-sort by src so the per-superstep sort-merge scatter join
+        # streams the (large) cached edge side without re-sorting it
+        norm_edges = norm_edges.sortWithinPartitions("src")
+    norm_edges = norm_edges.persist(StorageLevel.MEMORY_AND_DISK)
     norm_edges.count()  # materialize once
 
     dangling = verts.join(
         norm_edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_dangling = dangling.count()
-
-    broadcast_ranks = strategy == "broadcast" or (
-        strategy == "auto" and n <= BROADCAST_MAX_VERTICES
-    )
 
     manifest = None
     start_k = 0
@@ -120,7 +130,7 @@ def pagerank(
         manifest = RunManifest.open_or_create(run_dir, "pagerank", params)
         last = manifest.last_complete()
         if last >= 0:
-            ranks = manifest.load_state(spark, last)
+            ranks = manifest.load_state(spark, last).select("id", "rank")
             start_k = last + 1
             done = [
                 s for s in manifest.supersteps
@@ -135,7 +145,12 @@ def pagerank(
     local_metrics: list[dict] = []
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
-        r = F.broadcast(ranks) if broadcast_ranks else ranks.repartition(np, "id")
+        # copartition mode: no explicit repartition — the rank table is
+        # |V| rows (cheap to shuffle when needed) and its checkpointed
+        # partitioning from the previous superstep's join is preserved,
+        # so Catalyst plans the scatter join against the pre-partitioned,
+        # pre-sorted edge table without touching the edge side
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
 
         contrib = (
             norm_edges.join(r, norm_edges.src == r.id)
@@ -152,22 +167,27 @@ def pagerank(
         else:
             dmass = 0.0
         base = (1.0 - alpha) / n + alpha * dmass / n
-        new_ranks = verts.join(contrib, verts.id == contrib.dst, "left").select(
-            verts.id.alias("id"),
+        # join contrib back to the rank table (covers every vertex) and
+        # carry the previous rank along — the L1 delta then needs no
+        # second |V|⋈|V| join, just a single-stage agg over the
+        # checkpointed result (one fewer shuffle per superstep)
+        new_ranks = ranks.join(contrib, ranks.id == contrib.dst, "left").select(
+            ranks.id.alias("id"),
             (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
                 "rank"
             ),
+            F.col("rank").alias("_old"),
         )
         if manifest is not None:
             new_ranks = manifest.checkpoint(new_ranks, k)
         else:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            # lazy local checkpoint: the delta agg below is the action
+            # that computes AND pins the superstep state — one Spark job
+            # per superstep instead of two
+            new_ranks = new_ranks.localCheckpoint(eager=False)
 
-        old = ranks.select(F.col("id"), F.col("rank").alias("_old"))
         delta = (
-            new_ranks.join(old, "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
-            .collect()[0][0]
+            new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("_old")))).collect()[0][0]
         )
         wall_ms = (time.monotonic() - t0) * 1e3
         entry = {"k": k, "wall_ms": wall_ms, "delta": delta, "rows": n}
@@ -177,7 +197,7 @@ def pagerank(
                 spark, k, wall_ms=wall_ms, delta=delta, rows=n,
                 extra={"dangling_mass": dmass},
             )
-        ranks = new_ranks
+        ranks = new_ranks.select("id", "rank")
         steps = k + 1
         if delta < tol:
             converged = True

@@ -41,19 +41,47 @@ def exact_dedup(
     return keyed.join(keep, [ "_k", id_col], "left_semi").drop("_k")
 
 
-def word_shingles(text_col, n: int = 3):
-    """Array of word n-gram shingle hashes (xxhash64, seed 42)."""
-    words = F.regexp_extract_all(F.lower(text_col if not isinstance(text_col, str) else F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
-    cnt = F.size(words) - F.lit(n - 1)
+def word_tokens(text_col):
+    """Lowercased word-token array expression."""
+    c = text_col if not isinstance(text_col, str) else F.col(text_col)
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), 0)
+
+
+def shingle_hashes_from_words(words_col, n: int = 3):
+    """Word n-gram shingle hashes (xxhash64, seed 42) from a
+    pre-materialized token-array COLUMN.
+
+    ``words_col`` must be a column reference, not a computed expression:
+    expressions referenced inside a higher-order-function lambda are
+    re-evaluated once per output element (O(L^2) for a regex tokenizer),
+    while a column reference is evaluated once per row."""
+    cnt = F.size(words_col) - F.lit(n - 1)
     return F.when(
         cnt >= 1,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), cnt),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)), F.lit(42)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words_col, i, n)), F.lit(42)),
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """DataFrame[id, h] — one row per distinct shingle hash per doc,
+    with the tokenizer staged as a column (see shingle_hashes_from_words)."""
+    staged = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
+    return staged.select(
+        F.col(id_col), F.explode(shingle_hashes_from_words(F.col("_w"), n)).alias("h")
+    )
+
+
+def word_shingles(text_col, n: int = 3):
+    """Array of word n-gram shingle hashes as a single expression.
+
+    Kept for expression-level composition on short strings; hot paths
+    use _exploded_shingles (staged tokenizer) instead."""
+    return shingle_hashes_from_words(word_tokens(text_col), n)
 
 
 def minhash_signatures(
@@ -65,7 +93,7 @@ def minhash_signatures(
     One explode + one groupBy with ``num_hashes`` algebraic min
     aggregates (map-side combinable → duplicate-heavy corpora don't
     skew)."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("h"))
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
     sh = sh.withColumn("h", F.pmod(F.col("h"), F.lit(_MERSENNE)))
     aggs = []
     for i in range(num_hashes):
@@ -131,7 +159,7 @@ def exact_jaccard_pairs(
     """Exact n-gram Jaccard for ALL intersecting pairs via inverted-index
     self-join: explode shingles, join on shingle, count common, divide by
     union size. SQL-expressible — this is the oracle for the sketches."""
-    sh = df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("h"))
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("a"), "h")
     b = sh.select(F.col(id_col).alias("b"), "h")

@@ -108,15 +108,20 @@ def fingerprint_winnow(
         n >= 1,
         F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(c.substr(i, F.lit(k)))),
     ).otherwise(empty)
-    nw = F.size(grams) - F.lit(window - 1)
+    # materialize grams as a column BEFORE the windowed-min pass: an
+    # expression referenced inside a lambda is re-evaluated per element
+    # (O(L^2) hashing); a column reference is evaluated once per row
+    staged = df.select(id_col, grams.alias("_grams"))
+    g = F.col("_grams")
+    nw = F.size(g) - F.lit(window - 1)
     mins = F.when(
         nw >= 1,
         F.transform(
             F.sequence(F.lit(1), nw),
-            lambda j: F.array_min(F.slice(grams, j, window)),
+            lambda j: F.array_min(F.slice(g, j, window)),
         ),
     ).otherwise(empty)
-    return df.select(id_col, F.explode(F.array_distinct(mins)).alias("fp_hash"))
+    return staged.select(id_col, F.explode(F.array_distinct(mins)).alias("fp_hash"))
 
 
 def doc_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
