@@ -61,9 +61,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _sym_diff_count(a: DataFrame, b: DataFrame) -> int:
-    """|a Δ b| for distinct edge sets — the convergence delta."""
-    return a.exceptAll(b).count() + b.exceptAll(a).count()
+def _diff_count(stepped: DataFrame, prev: DataFrame, rows: int, prev_rows: int) -> int:
+    """Convergence delta for distinct edge sets: with equal cardinality,
+    one-sided except-count is 0 iff the sets are equal — half the work of
+    a symmetric difference; unequal cardinality is already a change."""
+    if rows != prev_rows:
+        return abs(rows - prev_rows)
+    return stepped.exceptAll(prev).count()
 
 
 def connected_components(
@@ -101,6 +105,7 @@ def connected_components(
                 return _labels_from_stars(spark, e, edges, vertices)
 
     prev = e.localCheckpoint(eager=True) if manifest is None else e
+    prev_rows = prev.count()
 
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
@@ -108,9 +113,10 @@ def connected_components(
         if manifest is not None:
             stepped = manifest.checkpoint(stepped, k)
         else:
-            stepped = stepped.localCheckpoint(eager=True)
-        delta = _sym_diff_count(stepped, prev)
+            stepped = stepped.localCheckpoint(eager=False)
         rows = stepped.count()
+        delta = _diff_count(stepped, prev, rows, prev_rows)
+        prev_rows = rows
         if manifest is not None:
             manifest.record_superstep(
                 spark, k, wall_ms=(time.monotonic() - t0) * 1e3, delta=delta, rows=rows

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.checkpoint import RunManifest
-from .edges import symmetrize, vertices_of
+from .edges import canonicalize_edges, symmetrize, vertices_of
 
 
 @dataclass
@@ -44,9 +44,16 @@ def label_propagation(
 ) -> LPAResult:
     """DataFrame[id, label] after synchronous min-tie-break LPA."""
     has_w = weighted and "weight" in edges.columns
-    e = edges if directed else symmetrize(edges, weight=has_w)
-    if not has_w:
-        e = e.select("src", "dst", F.lit(1).alias("weight"))
+    if directed:
+        e = edges
+        if not has_w:
+            e = e.select("src", "dst", F.lit(1).alias("weight"))
+    else:
+        # nx.Graph semantics: duplicate rows / orientations collapse
+        canon = canonicalize_edges(edges, weight="weight" if has_w else None)
+        if not has_w:
+            canon = canon.select("src", "dst", F.lit(1).alias("weight"))
+        e = symmetrize(canon, weight=True)
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     verts = vertices_of(e).persist(StorageLevel.MEMORY_AND_DISK)
@@ -59,7 +66,7 @@ def label_propagation(
         manifest = RunManifest.open_or_create(run_dir, "lpa", params)
         last = manifest.last_complete()
         if last >= 0:
-            labels = manifest.load_state(spark, last)
+            labels = manifest.load_state(spark, last).select("id", "label")
             start_k = last + 1
             if any(s["k"] == last and s.get("delta") == 0 for s in manifest.supersteps):
                 return LPAResult(labels, last + 1, True, manifest.metrics())
@@ -85,12 +92,13 @@ def label_propagation(
             .select("id", F.coalesce("_new", F.col("label")).alias("label"),
                     F.col("label").alias("_old"))
         )
-        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
-        new_labels = new_labels.select("id", "label")
+        # checkpoint BEFORE the changed-count so the superstep computes
+        # once: the count below is the action that materializes it
         if manifest is not None:
             new_labels = manifest.checkpoint(new_labels, k)
         else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         wall_ms = (time.monotonic() - t0) * 1e3
         entry = {"k": k, "wall_ms": wall_ms, "delta": changed}
         local_metrics.append(entry)
@@ -98,7 +106,7 @@ def label_propagation(
             manifest.record_superstep(
                 spark, k, wall_ms=wall_ms, delta=changed, rows=new_labels.count()
             )
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         steps = k + 1
         if changed == 0:
             converged = True
