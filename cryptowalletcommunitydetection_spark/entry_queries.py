@@ -621,7 +621,89 @@ def q_date_roundtrip(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """J6: as-of join — for each event, the user's most recent purchase
+    value at-or-before the event timestamp (the reference's
+    timestamp->block interpolation search as one union+window pass)."""
+    from .functions.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("user_id", "ts", "event_id")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(left, right, on="ts", by="user_id").select(
+        "event_id", "user_id", "last_purchase_value"
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """Text quality metrics (token counts, ratios, composite score)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.doc_stats(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_ws_tokens", "n_chars",
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("stopword_ratio", 9).alias("stopword_ratio"),
+        F.round("mean_word_len", 9).alias("mean_word_len"),
+        F.round("quality", 9).alias("quality"),
+        "lang_detected",
+    )
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """G6 weighted: transition p = weight / out-weight-sum."""
+    edges = _cooccur_edges(spark, sf_dir)
+    res = pagerank(spark, edges, alpha=0.85, tol=0.0, max_iter=8, weighted=True)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
 # ------------------------------------------------- rows-only (non-SQL ops)
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash banded Hamming near-dup pairs (sketch — rows-only)."""
+    sims = dd.simhash(_t(spark, sf_dir, "documents"))
+    # max_hamming=3 = chunks-1: the pigeonhole band join is guaranteed
+    # complete in this regime (any pair within distance 3 shares a piece)
+    return dd.simhash_near_dups(sims, max_hamming=3)
+
+
+def q_minhash_verified(spark, sf_dir):
+    """MinHash LSH candidates verified by signature-agreement estimate."""
+    sigs = dd.minhash_signatures(_t(spark, sf_dir, "documents"))
+    cands = dd.minhash_lsh_candidates(sigs)
+    est = dd.estimate_jaccard(sigs, cands)
+    return est.filter(F.col("est_jaccard") >= 0.5).select("a", "b")
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantized ANN (probe nearest centroid lists)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return sim.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=3).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary media column -> Arrow mapInPandas
+    feature extraction (deterministic fake kernel; real codecs stubbed)."""
+    from .operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("bytes"),
+    )
+    feats = extract_features(media, dim=8)
+    return feats.select("asset_id", "n_bytes", F.size("feature").alias("dim"))
 
 def q_minhash_candidates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -701,6 +783,13 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "parse_scalars": q_parse_scalars,
     "date_roundtrip": q_date_roundtrip,
+    "asof_join": q_asof_join,
+    "doc_stats": q_doc_stats,
+    "pagerank_weighted8": q_pagerank_weighted,
+    "simhash_near_dups": q_simhash_near_dups,
+    "minhash_verified": q_minhash_verified,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_features": q_multimodal_features,
     # training-data ops
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -714,7 +803,10 @@ QUERIES = {
 }
 
 
-def _lang_detect_sql() -> str:
+def _lang_hits_and_case() -> tuple[str, str]:
+    """(hits-projection SQL over a distinct-words column ``ws``,
+    argmax CASE over the h_<lang> columns) — shared by the lang_detect
+    and doc_stats oracles."""
     hits = []
     for lang, sw in sorted(tx.STOPWORDS.items()):
         lst = ", ".join(f"'{w}'" for w in sw)
@@ -725,11 +817,75 @@ def _lang_detect_sql() -> str:
     for l in langs:
         case += f"WHEN h_{l} = {g} THEN '{l}' "
     case += "END"
+    return ", ".join(hits), case
+
+
+def _lang_detect_sql() -> str:
+    hits, case = _lang_hits_and_case()
     return f"""
 WITH w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws FROM documents),
-h AS (SELECT doc_id, {", ".join(hits)} FROM w)
+h AS (SELECT doc_id, {hits} FROM w)
 SELECT doc_id, {case} AS lang_detected FROM h
 """
+
+
+def _doc_stats_sql() -> str:
+    hits, case = _lang_hits_and_case()
+    en = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{tx.TOKEN_RE}') AS toks,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
+         list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS ws
+  FROM documents),
+calc AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS n_ws_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_intersect(ws, [{en}])) / 10.0 AS stopword_ratio,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+           / greatest(len(words), 1) AS mean_word_len,
+         {hits},
+         {case.replace("'und'", "'und'")} AS lang_detected
+  FROM base)
+SELECT doc_id, n_tokens, n_ws_tokens, n_chars,
+       round(punct_ratio, 9) AS punct_ratio,
+       round(stopword_ratio, 9) AS stopword_ratio,
+       round(mean_word_len, 9) AS mean_word_len,
+       round((least(n_chars / 500.0, 1.0)
+              + stopword_ratio
+              + (CASE WHEN punct_ratio > 0.001 AND punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.0 END)
+             ) / 4.0, 9) AS quality,
+       lang_detected
+FROM calc
+"""
+
+
+def _pagerank_weighted_sql(iters: int) -> str:
+    """Weighted twin of _pagerank_sql: p = weight / out-weight-sum."""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f"""
+c{k} AS (SELECT s.dst AS id, sum(r.rank * (s.weight / w.ws)) AS contrib
+         FROM sym s JOIN r{k - 1} r ON s.src = r.id JOIN wsum w ON w.id = s.src
+         GROUP BY s.dst),
+r{k} AS (SELECT v.id, ((1.0 - 0.85) / (SELECT n FROM nn)) + 0.85 * coalesce(c{k}.contrib, 0.0) AS rank
+         FROM v LEFT JOIN c{k} ON v.id = c{k}.id)""")
+    return (
+        "WITH " + _COOCCUR_SQL + """,
+sym AS (SELECT src, dst, weight FROM ce UNION ALL SELECT dst AS src, src AS dst, weight FROM ce),
+wsum AS (SELECT src AS id, sum(weight) AS ws FROM sym GROUP BY 1),
+v AS (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+r0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM v)"""
+        + "," + ",".join(its)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM r{iters}"
+    )
 
 
 ORACLES = {
@@ -819,6 +975,15 @@ SELECT p_partkey, p_size * 1000.0 AS amount, p_size / 100.0 AS pct FROM part
     "date_roundtrip": """
 SELECT o_orderkey, epoch(o_orderdate)::BIGINT AS epoch_s FROM orders
 """,
+    "asof_join": """
+WITH pur AS (SELECT user_id, ts, max(value) AS last_purchase_value
+             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, p.last_purchase_value
+FROM events e ASOF LEFT JOIN pur p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    "doc_stats": _doc_stats_sql(),
+    "pagerank_weighted8": _pagerank_weighted_sql(8),
     "filter_project_distinct": """
 SELECT DISTINCT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice > 200000.0

@@ -59,6 +59,71 @@ def prune_old(df: DataFrame, ts: str = "ts", cutoff: int = 0) -> DataFrame:
     return df.filter(F.col(ts) >= F.lit(cutoff))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """J6 — as-of join: attach to each left row the right row with the
+    greatest ``on`` <= left's ``on`` (backward; ties include equal
+    timestamps), matched within ``by`` keys.
+
+    The reference does this with a cached interpolation search over the
+    monotone (block, timestamp) graph per lookup
+    (services/blockchain/graph_operations.py:33-120,
+    models/blocks.py:46-71). Here it is one union + one window pass —
+    O((n+m) log (n+m)) with a single shuffle on ``by``, no per-row
+    driver loops, and it distributes: each ``by`` partition is
+    independent.
+
+    ``right`` should be unique per (by, on); duplicate timestamps would
+    make "the" as-of row ambiguous (pre-aggregate to enforce).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    rcols = [c for c in right.columns if c != on and c not in by]
+    lcols = [c for c in left.columns if c != on and c not in by]
+
+    l = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("_side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols],
+    )
+    r = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    # at equal `on`, the right row sorts first (side 0) so backward
+    # semantics include ties; forward reverses the scan direction
+    order = [F.col(on).asc(), F.col("_side").asc()]
+    if direction == "forward":
+        order = [F.col(on).desc(), F.col("_side").asc()]
+    elif direction != "backward":
+        raise ValueError(f"unknown direction: {direction}")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l.unionByName(r)
+    filled = u.select(
+        *by,
+        F.col(on),
+        F.col("_side"),
+        *lcols,
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in rcols],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *by, F.col(on), *lcols, *[F.col(f"_r_{c}").alias(c) for c in rcols]
+    )
+
+
 def carry_forward_sum(
     df: DataFrame, series: str = "key", ts: str = "ts", value: str = "value"
 ) -> DataFrame:

@@ -100,3 +100,36 @@ def test_carry_forward_sum(spark):
     )
     got = [(r["ts"], r["combined"]) for r in carry_forward_sum(df).collect()]
     assert got == [(10, 1.0), (20, 11.0), (30, 15.0)]
+
+
+def test_asof_join_backward_and_forward(spark):
+    from cryptowalletcommunitydetection_spark.functions.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 5, "e1"), ("u1", 15, "e2"), ("u1", 25, "e3"), ("u2", 10, "e4")],
+        "user string, ts long, eid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 20, 2.0), ("u2", 30, 9.0)],
+        "user string, ts long, px double",
+    )
+    back = {
+        r["eid"]: r["px"]
+        for r in asof_join(left, right, on="ts", by="user").collect()
+    }
+    # e1: no px at/before ts=5; e2: px@10; e3: px@20; u2 e4: none before 10
+    assert back == {"e1": None, "e2": 1.0, "e3": 2.0, "e4": None}
+    fwd = {
+        r["eid"]: r["px"]
+        for r in asof_join(left, right, on="ts", by="user", direction="forward").collect()
+    }
+    assert fwd == {"e1": 1.0, "e2": 2.0, "e3": None, "e4": 9.0}
+
+
+def test_asof_join_tie_includes_equal_ts(spark):
+    from cryptowalletcommunitydetection_spark.functions.timeseries import asof_join
+
+    left = spark.createDataFrame([("u", 10, "e")], "user string, ts long, eid string")
+    right = spark.createDataFrame([("u", 10, 7.0)], "user string, ts long, px double")
+    got = asof_join(left, right, on="ts", by="user").collect()
+    assert got[0]["px"] == 7.0
