@@ -39,7 +39,9 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
     )
-    return out.distinct()
+    # no distinct here: _small_star re-orients and distincts first thing,
+    # so a dedup at this point would just add a shuffle per round
+    return out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -61,13 +63,20 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _diff_count(stepped: DataFrame, prev: DataFrame, rows: int, prev_rows: int) -> int:
-    """Convergence delta for distinct edge sets: with equal cardinality,
-    one-sided except-count is 0 iff the sets are equal — half the work of
-    a symmetric difference; unequal cardinality is already a change."""
-    if rows != prev_rows:
-        return abs(rows - prev_rows)
-    return stepped.exceptAll(prev).count()
+def _edge_sketch(df: DataFrame):
+    """(rows, xxhash64-sum) of a distinct edge set — one agg job.
+
+    Equal sketches ⟹ equal sets except with ~2^-64 collision
+    probability; used as the cheap per-round fixpoint probe, always
+    confirmed by an exact one-sided except before declaring convergence."""
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        # (a sum of xxhash64 longs overflows); distinct sets, so no
+        # pair-cancellation concern
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+    ).collect()[0]
+    return r["n"], r["h"]
 
 
 def connected_components(
@@ -105,7 +114,7 @@ def connected_components(
                 return _labels_from_stars(spark, e, edges, vertices)
 
     prev = e.localCheckpoint(eager=True) if manifest is None else e
-    prev_rows = prev.count()
+    prev_sketch = _edge_sketch(prev)
 
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
@@ -114,9 +123,15 @@ def connected_components(
             stepped = manifest.checkpoint(stepped, k)
         else:
             stepped = stepped.localCheckpoint(eager=False)
-        rows = stepped.count()
-        delta = _diff_count(stepped, prev, rows, prev_rows)
-        prev_rows = rows
+        sketch = _edge_sketch(stepped)  # materializes the checkpoint
+        rows = sketch[0]
+        if sketch == prev_sketch:
+            # probable fixpoint — confirm exactly (equal counts + empty
+            # one-sided except ⟺ equal distinct sets)
+            delta = stepped.exceptAll(prev).count()
+        else:
+            delta = 1
+        prev_sketch = sketch
         if manifest is not None:
             manifest.record_superstep(
                 spark, k, wall_ms=(time.monotonic() - t0) * 1e3, delta=delta, rows=rows
