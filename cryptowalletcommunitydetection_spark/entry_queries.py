@@ -73,11 +73,15 @@ def _bipartite_edges(spark, sf_dir) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
-        .groupBy(
+        # group on the integer keys (cheaper shuffle than concat strings),
+        # build the labeled vertex keys after aggregation
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "weight",
         )
-        .agg(F.count(F.lit(1)).alias("weight"))
     )
 
 

@@ -1,0 +1,96 @@
+"""spark-submit entry point for the graph algorithms (north-rule path).
+
+Usage (``--py-files engine.zip`` carries the package to executors)::
+
+    zip -qr engine.zip cryptowalletcommunitydetection_spark
+    spark-submit --master <cluster> --py-files engine.zip jobs/run_graph.py \
+        --algo pagerank --edges /data/edges_parquet --out /out/ranks \
+        --run-dir /ckpt/pr_run            # resumable: re-running resumes
+
+    spark-submit ... jobs/run_graph.py \
+        --algo cc --files /data/files_parquet --out /out/components
+
+Inputs are either a prebuilt canonical edge table (``--edges``: parquet
+with src, dst[, weight]) or the Iceberg-style files table (``--files``:
+(repo, path, commit, lang, content)) from which edges are derived via
+the Arrow extraction pipeline. ``--resume`` is implicit: pointing
+``--run-dir`` at a previous run's directory continues it (same
+algorithm + parameters), per-superstep state and metrics live there.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", required=True,
+                    choices=["pagerank", "cc", "lpa", "triangles", "rollup"])
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--edges", help="parquet path: src, dst[, weight]")
+    src.add_argument("--files", help="files table: parquet path or Iceberg name")
+    ap.add_argument("--out", required=True, help="output parquet path")
+    ap.add_argument("--run-dir", default=None, help="checkpoint/resume directory")
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--weighted", action="store_true", default=True)
+    ap.add_argument("--directed", action="store_true")
+    args = ap.parse_args()
+
+    # build_session is a no-op wrapper when spark-submit already created
+    # the session (getOrCreate); configs come from --conf in that case
+    spark = SparkSession.builder.getOrCreate()
+
+    from cryptowalletcommunitydetection_spark.graph.cc import connected_components
+    from cryptowalletcommunitydetection_spark.graph.edges import derive_edges
+    from cryptowalletcommunitydetection_spark.graph.lpa import label_propagation
+    from cryptowalletcommunitydetection_spark.graph.pagerank import pagerank
+    from cryptowalletcommunitydetection_spark.graph.rollup import bipartite_group_rollup
+    from cryptowalletcommunitydetection_spark.graph.triangles import triangles_per_vertex
+    from cryptowalletcommunitydetection_spark.sources.files import read_files
+
+    if args.edges:
+        edges = spark.read.parquet(args.edges)
+    else:
+        edges = derive_edges(read_files(spark, args.files))
+
+    summary: dict = {"algo": args.algo, "out": args.out}
+    if args.algo == "pagerank":
+        res = pagerank(
+            spark, edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
+            weighted=args.weighted, directed=args.directed, run_dir=args.run_dir,
+        )
+        res.ranks.write.mode("overwrite").parquet(args.out)
+        summary.update(supersteps=res.supersteps, converged=res.converged)
+    elif args.algo == "cc":
+        cc = connected_components(
+            spark, edges, max_iter=args.max_iter, run_dir=args.run_dir
+        )
+        cc.write.mode("overwrite").parquet(args.out)
+    elif args.algo == "lpa":
+        res = label_propagation(
+            spark, edges, max_iter=min(args.max_iter, 50),
+            weighted=args.weighted, directed=args.directed, run_dir=args.run_dir,
+        )
+        res.labels.write.mode("overwrite").parquet(args.out)
+        summary.update(supersteps=res.supersteps, converged=res.converged)
+    elif args.algo == "triangles":
+        triangles_per_vertex(edges).write.mode("overwrite").parquet(args.out)
+    elif args.algo == "rollup":
+        from pyspark.sql import functions as F
+
+        pairs = edges.select(
+            F.col("src").alias("from_address"), F.col("dst").alias("to_address")
+        )
+        bipartite_group_rollup(spark, pairs).write.mode("overwrite").parquet(args.out)
+
+    print("JOB_SUMMARY " + json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
