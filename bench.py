@@ -65,6 +65,10 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     timed("minhash_candidates", lambda: EQ.q_minhash_candidates(spark, sf_dir).count())
     timed("embedding_topk", lambda: EQ.q_embedding_topk(spark, sf_dir).count())
     timed("token_count", lambda: EQ.q_token_count(spark, sf_dir).count())
+    timed("doc_stats", lambda: EQ.q_doc_stats(spark, sf_dir).count())
+    timed("winnow_fingerprints", lambda: EQ.q_winnow_fingerprints(spark, sf_dir).count())
+    timed("asof_join", lambda: EQ.q_asof_join(spark, sf_dir).count())
+    timed("window_rank_lag", lambda: EQ.q_window_rank_lag(spark, sf_dir).count())
 
     return {
         "metric": "headline_queries_wall",

@@ -136,6 +136,10 @@ def connected_components(
             manifest.record_superstep(
                 spark, k, wall_ms=(time.monotonic() - t0) * 1e3, delta=delta, rows=rows
             )
+        # release the superseded round's pinned state (the new round is
+        # materialized and no longer depends on it)
+        if manifest is None:
+            prev.unpersist()
         prev = stepped
         if delta == 0:
             break

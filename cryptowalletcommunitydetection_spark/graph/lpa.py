@@ -75,6 +75,7 @@ def label_propagation(
     converged = False
     steps = start_k
     local_metrics: list[dict] = []
+    prev_ckpt = None
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
         nbr = e.join(labels, e.src == labels.id).select(
@@ -106,11 +107,16 @@ def label_propagation(
             manifest.record_superstep(
                 spark, k, wall_ms=wall_ms, delta=changed, rows=new_labels.count()
             )
+        if prev_ckpt is not None and manifest is None:
+            prev_ckpt.unpersist()
+        prev_ckpt = new_labels
         labels = new_labels.select("id", "label")
         steps = k + 1
         if changed == 0:
             converged = True
             break
 
+    e.unpersist()
+    verts.unpersist()
     metrics = manifest.metrics() if manifest is not None else local_metrics
     return LPAResult(labels, steps, converged, metrics)

@@ -72,3 +72,17 @@ def test_pagerank_copartition_strategy_same_result(spark):
     edges = datagen.edges_df(spark, pairs)
     res = pagerank(spark, edges, tol=1e-8, strategy="copartition", weighted=False)
     _compare(res.ranks.collect(), nx_pagerank(pairs))
+
+
+def test_pagerank_strategies_agree(spark):
+    """All three physical strategies produce identical ranks for a fixed
+    iteration count (same arithmetic, different physical plans)."""
+    pairs = datagen.erdos_renyi(40, 0.12) + datagen.star(15)
+    edges = datagen.edges_df(spark, pairs)
+    results = {}
+    for strat in ("broadcast", "copartition", "blocked"):
+        res = pagerank(spark, edges, tol=0.0, strategy=strat, max_iter=8)
+        results[strat] = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    base = results["broadcast"]
+    for strat in ("copartition", "blocked"):
+        assert max(abs(results[strat][k] - base[k]) for k in base) < 1e-12
