@@ -12,6 +12,7 @@ from .scalar import (  # noqa: F401
     token_value_usd,
 )
 from .timeseries import (  # noqa: F401
+    asof_join,
     asof_last_value,
     bucket_timestamps,
     carry_forward_sum,

@@ -14,3 +14,9 @@ from .pagerank import pagerank  # noqa: F401
 from .lpa import label_propagation  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
 from .rollup import bipartite_group_rollup  # noqa: F401
+from .skew import (  # noqa: F401
+    degree_histogram,
+    hub_vertices,
+    salted_collect,
+    salted_join,
+)
