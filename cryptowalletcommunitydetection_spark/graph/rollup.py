@@ -31,12 +31,19 @@ def bipartite_group_rollup(
     from_col: str = "from_address",
     to_col: str = "to_address",
     run_dir: str | None = None,
+    nsalt: int | None = None,
 ) -> DataFrame:
     """pairs(from, to) -> one row per community.
 
     Output: DataFrame[group_id string, component <keytype>,
     user_wallets array, deposit_wallets array,
     edges array<struct<src,dst>>, num_user int, num_depo int].
+
+    ``nsalt``: two-phase salted collect for the member arrays — use when
+    a single community can dominate a partition (collect_list has no
+    map-side partial form, so a 10^7-member component would otherwise
+    land on one task; see graph/skew.py::salted_collect). Results are
+    identical with/without (tests/test_skew.py invariance applies).
     """
     pairs = pairs.select(
         F.col(from_col).alias("from_address"), F.col(to_col).alias("to_address")
@@ -49,14 +56,30 @@ def bipartite_group_rollup(
     depos = cc.join(senders, "id", "left_anti").withColumn("is_user", F.lit(False))
     tagged = users.unionByName(depos)
 
-    member_rollup = tagged.groupBy("component").agg(
-        F.sort_array(
-            F.collect_list(F.when(F.col("is_user"), F.col("id")))
-        ).alias("user_wallets"),
-        F.sort_array(
-            F.collect_list(F.when(~F.col("is_user"), F.col("id")))
-        ).alias("deposit_wallets"),
-    )
+    if nsalt:
+        from .skew import salted_collect
+
+        u = salted_collect(
+            tagged.filter(F.col("is_user")), "component", "id", nsalt
+        ).withColumnRenamed("values", "user_wallets")
+        d = salted_collect(
+            tagged.filter(~F.col("is_user")), "component", "id", nsalt
+        ).withColumnRenamed("values", "deposit_wallets")
+        empty = F.array().cast(u.schema["user_wallets"].dataType)
+        member_rollup = u.join(d, "component", "full_outer").select(
+            "component",
+            F.coalesce("user_wallets", empty).alias("user_wallets"),
+            F.coalesce("deposit_wallets", empty).alias("deposit_wallets"),
+        )
+    else:
+        member_rollup = tagged.groupBy("component").agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_user"), F.col("id")))
+            ).alias("user_wallets"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("is_user"), F.col("id")))
+            ).alias("deposit_wallets"),
+        )
 
     edge_comp = pairs.join(
         cc.select(F.col("id"), F.col("component")),

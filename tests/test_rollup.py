@@ -42,3 +42,18 @@ def test_rollup_deterministic_group_ids(spark):
     a = {r["component"]: r["group_id"] for r in bipartite_group_rollup(spark, pairs).collect()}
     b = {r["component"]: r["group_id"] for r in bipartite_group_rollup(spark, pairs).collect()}
     assert a == b
+
+
+def test_rollup_salted_equals_plain(spark):
+    """nsalt routing through salted_collect must not change results."""
+    pdf = datagen.gen_wallet_pairs_pdf(n_components=4)
+    pairs = spark.createDataFrame(pdf)
+    plain = bipartite_group_rollup(spark, pairs)
+    salted = bipartite_group_rollup(spark, pairs, nsalt=4)
+    key = lambda df: sorted(
+        (r["component"], list(r["user_wallets"]), list(r["deposit_wallets"]),
+         r["num_user"], r["num_depo"])
+        for r in df.select("component", "user_wallets", "deposit_wallets",
+                           "num_user", "num_depo").collect()
+    )
+    assert key(plain) == key(salted)
