@@ -565,6 +565,73 @@ def q_merge_upsert(spark, sf_dir):
     )
 
 
+def q_map_reshape(spark, sf_dir):
+    """X6/F11-F13: the MapType reshape chain the reference applies to
+    wallet change-log dicts (utils/utils.py:122-143,195-199,221-233,
+    utils/list_dict_utils.py:7-16,29-30): rows -> per-customer month map,
+    merge of two half-maps with per-key sum, int-cast of keys, null-value
+    filter, key prefixing, and explode back to rows. The DuckDB oracle is
+    the flat relational truth the whole map journey must round-trip to."""
+    from .functions import maps as M
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.month("o_orderdate").cast("string").alias("mon")
+    )
+    halves = []
+    for parity in (0, 1):
+        cnt = (
+            o.filter(F.col("o_orderkey") % 2 == parity)
+            .groupBy("o_custkey", "mon")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        halves.append(
+            M.entries_to_map(cnt, ["o_custkey"], "mon", "n", out_col=f"_m{parity}")
+        )
+    j = halves[0].join(halves[1], "o_custkey", "full_outer")
+    merged = M.merge_maps_sum("_m0", "_m1")  # F11b: shared keys add
+    longk = M.cast_map_keys_long(merged)  # F13
+    nulled = F.transform_values(longk, lambda k, v: F.nullif(v, F.lit(1)))
+    filtered = M.map_null_filter(nulled)  # F12
+    prefixed = M.prefix_map_keys(filtered, "m")  # F11a
+    out = j.select("o_custkey", prefixed.alias("mm"))
+    return M.explode_map(out, "mm", ["o_custkey"]).select(
+        "o_custkey", "key", F.col("value").alias("n")
+    )
+
+
+def q_merge_upsert_map(spark, sf_dir):
+    """S9 map form: Mongo's nested ``$addToSet: {field.project: {$each:
+    [...]}}`` over the wallet protocols dict (databases/mongodb.py:106-118,
+    models/wallet/wallet.py:33-45) — full-outer merge where matched map
+    keys set-union their array values."""
+    from .functions import maps as M
+    from .operators.relational import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority",
+        F.year("o_orderdate").cast("string").alias("yr"),
+    )
+
+    def side(pred):
+        rows = (
+            o.filter(pred)
+            .groupBy("o_custkey", "o_orderpriority")
+            .agg(F.sort_array(F.collect_set("yr")).alias("yrs"))
+        )
+        return M.entries_to_map(
+            rows, ["o_custkey"], "o_orderpriority", "yrs", out_col="protocols"
+        )
+
+    base = side(F.col("o_orderkey") % 3 != 0)
+    upd = side(F.col("o_orderkey") % 2 == 0)
+    m = merge_upsert(base, upd, ["o_custkey"], map_union_cols=["protocols"])
+    return M.explode_map(m, "protocols", ["o_custkey"]).select(
+        "o_custkey",
+        F.col("key").alias("priority"),
+        F.concat_ws(",", "value").alias("years"),
+    )
+
+
 def q_quarantine_split(spark, sf_dir):
     """S11/T4: left join + null-branch side-output — rows referencing a
     missing dimension key are quarantined, the rest pass through."""
@@ -782,6 +849,8 @@ QUERIES = {
     "carry_forward_sum": q_carry_forward_sum,
     "json_extract": q_json_extract,
     "merge_upsert": q_merge_upsert,
+    "map_reshape": q_map_reshape,
+    "merge_upsert_map": q_merge_upsert_map,
     "quarantine_split": q_quarantine_split,
     "tumbling_window": q_tumbling_window,
     "degree_distribution": q_degree_distribution,
@@ -956,6 +1025,17 @@ SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
        coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice,
        array_to_string(list_sort(list_distinct(coalesce(b.tags, []) || coalesce(u.tags, []))), ',') AS tags
 FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+""",
+    "map_reshape": """
+SELECT o_custkey, 'm_' || month(o_orderdate)::BIGINT::VARCHAR AS key, count(*) AS n
+FROM orders GROUP BY 1, 2 HAVING count(*) != 1
+""",
+    "merge_upsert_map": """
+WITH inc AS (SELECT o_custkey, o_orderpriority AS priority, year(o_orderdate)::VARCHAR AS yr
+             FROM orders WHERE o_orderkey % 3 != 0 OR o_orderkey % 2 = 0)
+SELECT o_custkey, priority,
+       array_to_string(list_sort(list_distinct(list(yr))), ',') AS years
+FROM inc GROUP BY 1, 2
 """,
     "quarantine_split": """
 SELECT CASE WHEN p.p_partkey IS NULL THEN 'quarantine' ELSE 'ok' END AS branch, count(*) AS n

@@ -158,7 +158,17 @@ def pagerank(
 
     manifest = None
     start_k = 0
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    # the dangling flag rides along in the state so the per-superstep agg
+    # can produce the NEXT superstep's dangling mass together with the L1
+    # delta — one Spark action per superstep, not two
+    ranks = verts.join(
+        dangling.select("id", F.lit(True).alias("_dang")), "id", "left"
+    ).select(
+        "id", F.lit(1.0 / n).alias("rank"),
+        F.coalesce("_dang", F.lit(False)).alias("_dang"),
+    )
+    # exact: the initial state is uniform, so dangling mass = |D| / n
+    dmass = n_dangling / n
     # max_iter is a stopping condition, not part of the computation's
     # identity — a resume may raise it and continue the same run.
     params = {
@@ -169,20 +179,35 @@ def pagerank(
         manifest = RunManifest.open_or_create(run_dir, "pagerank", params)
         last = manifest.last_complete()
         if last >= 0:
-            ranks = manifest.load_state(spark, last).select("id", "rank")
+            loaded = manifest.load_state(spark, last).select("id", "rank")
+            ranks = loaded.join(
+                dangling.select("id", F.lit(True).alias("_dang")), "id", "left"
+            ).select(
+                "id", "rank", F.coalesce("_dang", F.lit(False)).alias("_dang")
+            )
             start_k = last + 1
             done = [
                 s for s in manifest.supersteps
                 if s["k"] == last and s.get("delta") is not None and s["delta"] < tol
             ]
             if done:
-                return PageRankResult(ranks, last + 1, True, manifest.metrics())
+                return PageRankResult(
+                    ranks.select("id", "rank"), last + 1, True, manifest.metrics()
+                )
+            # one extra action at resume only: dangling mass of the
+            # restored state (steady-state supersteps stay single-action)
+            if n_dangling > 0:
+                dmass = (
+                    ranks.filter("_dang").agg(F.sum("rank")).collect()[0][0] or 0.0
+                )
     ranks = ranks.localCheckpoint(eager=True) if manifest is None else ranks
 
     converged = False
     steps = start_k
     local_metrics: list[dict] = []
-    prev_ckpt = None  # previous superstep's pinned state, released each round
+    # seed with the initial pinned state so round 0 releases it (a None
+    # seed leaked one |V|-sized checkpoint for the whole run)
+    prev_ckpt = ranks if manifest is None else None
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
         if strategy == "blocked":
@@ -190,7 +215,7 @@ def pagerank(
             # |V|·replication shuffle); the edge join and the gather are
             # then block-local — the big edge table never moves
             delivered = (
-                ranks.join(rt, "id")
+                ranks.select("id", "rank").join(rt, "id")
                 .select(F.col("bj"), F.col("id").alias("_sid"), F.col("rank"))
                 .repartition(np, "bj")
             )
@@ -212,21 +237,16 @@ def pagerank(
             # join is preserved, so Catalyst plans the scatter join
             # against the pre-partitioned, pre-sorted edge table without
             # touching the edge side
-            r = F.broadcast(ranks) if broadcast_ranks else ranks
+            rsmall = ranks.select("id", "rank")
+            r = F.broadcast(rsmall) if broadcast_ranks else rsmall
             contrib = (
                 norm_edges.join(r, norm_edges.src == r.id)
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("p")).alias("_c"))
             )
-        if n_dangling > 0:
-            dmass = (
-                ranks.join(dangling, "id", "left_semi")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
-            )
-        else:
-            dmass = 0.0
+        # dmass is the dangling mass of the CURRENT state, produced by the
+        # previous superstep's fused aggregate (uniform-state closed form
+        # at k=0) — no extra per-superstep action
         base = (1.0 - alpha) / n + alpha * dmass / n
         # join contrib back to the rank table (covers every vertex) and
         # carry the previous rank along — the L1 delta then needs no
@@ -238,32 +258,37 @@ def pagerank(
                 "rank"
             ),
             F.col("rank").alias("_old"),
+            ranks["_dang"],
         )
         if manifest is not None:
             new_ranks = manifest.checkpoint(new_ranks, k)
         else:
-            # lazy local checkpoint: the delta agg below is the action
+            # lazy local checkpoint: the fused agg below is the action
             # that computes AND pins the superstep state — one Spark job
             # per superstep instead of two
             new_ranks = new_ranks.localCheckpoint(eager=False)
 
-        delta = (
-            new_ranks.agg(F.sum(F.abs(F.col("rank") - F.col("_old")))).collect()[0][0]
-        )
+        # ONE action: L1 delta + the next superstep's dangling mass
+        agg_row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_delta"),
+            F.sum(F.when(F.col("_dang"), F.col("rank")).otherwise(0.0)).alias("_dm"),
+        ).collect()[0]
+        delta = agg_row["_delta"]
+        dmass = (agg_row["_dm"] or 0.0) if n_dangling > 0 else 0.0
         wall_ms = (time.monotonic() - t0) * 1e3
         entry = {"k": k, "wall_ms": wall_ms, "delta": delta, "rows": n}
         local_metrics.append(entry)
         if manifest is not None:
             manifest.record_superstep(
                 spark, k, wall_ms=wall_ms, delta=delta, rows=n,
-                extra={"dangling_mass": dmass},
+                extra={"dangling_mass_next": dmass},
             )
         # release the superseded superstep state (safe: the new state is
         # materialized) so long runs don't accumulate pinned blocks
         if prev_ckpt is not None and manifest is None:
             prev_ckpt.unpersist()
         prev_ckpt = new_ranks
-        ranks = new_ranks.select("id", "rank")
+        ranks = new_ranks.select("id", "rank", "_dang")
         steps = k + 1
         if delta < tol:
             converged = True
@@ -275,4 +300,4 @@ def pagerank(
     if rt is not None:
         rt.unpersist()
     metrics = manifest.metrics() if manifest is not None else local_metrics
-    return PageRankResult(ranks, steps, converged, metrics)
+    return PageRankResult(ranks.select("id", "rank"), steps, converged, metrics)

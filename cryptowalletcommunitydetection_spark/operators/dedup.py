@@ -107,17 +107,62 @@ def minhash_signatures(
     )
 
 
+def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Candidate pairs from a (_id, band, bh) bucket table.
+
+    Buckets of size <= ``max_bucket`` emit all pairs (a < b). Oversized
+    buckets — mass duplication: k near-identical docs would emit k² pairs
+    on one task — instead emit a star (rep=min id, member): the pair
+    *closure* under connected components is identical (every member links
+    to the representative), but the row count is k, not k². Downstream
+    clustering (graph/cc.py) recovers the same duplicate groups.
+    """
+    if max_bucket is None:
+        l = banded.select(F.col("_id").alias("a"), "band", "bh")
+        r = banded.select(F.col("_id").alias("b"), "band", "bh")
+        return (
+            l.join(r, ["band", "bh"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+    sizes = banded.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
+    )
+    small = banded.join(
+        sizes.filter(F.col("_n") <= max_bucket).select("band", "bh"),
+        ["band", "bh"], "left_semi",
+    )
+    l = small.select(F.col("_id").alias("a"), "band", "bh")
+    r = small.select(F.col("_id").alias("b"), "band", "bh")
+    small_pairs = (
+        l.join(r, ["band", "bh"]).filter(F.col("a") < F.col("b")).select("a", "b")
+    )
+    big_pairs = (
+        banded.join(
+            sizes.filter(F.col("_n") > max_bucket).select("band", "bh", "_rep"),
+            ["band", "bh"],
+        )
+        .filter(F.col("_id") != F.col("_rep"))
+        .select(
+            F.least("_rep", "_id").alias("a"), F.greatest("_rep", "_id").alias("b")
+        )
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id",
     bands: int = 16, rows_per_band: int = 4,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
     Output: DataFrame[a, b] with a < b, distinct. The self-join is on
-    (band_idx, band_hash) — bucket sizes are tiny for random data, and a
-    pathological bucket (mass duplication) is exactly the case where the
-    pairs are true duplicates."""
-    nb = bands * rows_per_band
+    (band_idx, band_hash); buckets above ``max_bucket`` switch to
+    representative chaining (see _banded_pairs) so a degenerate bucket of
+    k near-identical docs emits k rows instead of k² — pass None for the
+    exhaustive pair enumeration."""
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -133,14 +178,7 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bh")
-    l = banded.select(F.col("_id").alias("a"), "band", "bh")
-    r = banded.select(F.col("_id").alias("b"), "band", "bh")
-    return (
-        l.join(r, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    return _banded_pairs(banded, max_bucket)
 
 
 def estimate_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -155,11 +193,24 @@ def estimate_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
 def exact_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for ALL intersecting pairs via inverted-index
     self-join: explode shingles, join on shingle, count common, divide by
-    union size. SQL-expressible — this is the oracle for the sketches."""
+    union size. SQL-expressible — this is the oracle for the sketches.
+
+    ``max_df`` is the stop-shingle cut for at-scale use: a shingle
+    appearing in d documents emits d² join rows, so shingles with
+    document frequency > max_df are dropped from BOTH the inverted index
+    and the per-doc sizes (Jaccard over the effective vocabulary — the
+    same guard shape as graph/edges.py max_entities_per_group). Default
+    None keeps the exact oracle semantics."""
     sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    if max_df is not None:
+        keep = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= max_df
+        )
+        sh = sh.join(keep.select("h"), "h", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
     a = sh.select(F.col(id_col).alias("a"), "h")
     b = sh.select(F.col(id_col).alias("b"), "h")
@@ -216,32 +267,39 @@ def simhash(
 
 def simhash_near_dups(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
-    chunks: int = 4,
+    chunks: int = 4, max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via the
     pigeonhole band join: split the 64-bit signature into ``chunks``
-    16-bit pieces; any pair within distance < chunks shares a piece."""
+    16-bit pieces; any pair within distance < chunks shares a piece.
+
+    ``max_bucket`` (opt-in) applies representative chaining to oversized
+    piece buckets (see _banded_pairs): mass-duplicate corpora emit k rows
+    per bucket instead of k². With the cap, pair enumeration is no longer
+    exhaustive for *near* (non-identical) duplicates in a capped bucket —
+    the duplicate-group closure under connected components is preserved
+    for identical-signature members (hamming 0 to the representative),
+    which is exactly the mass-duplication case the cap exists for."""
     width = 64 // chunks
     mask = (1 << width) - 1
     banded = sims.select(
         F.col(id_col).alias("_id"),
-        F.col("simhash"),
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("chunk"),
-                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("piece"),
+                    F.lit(i).alias("band"),
+                    F.shiftright("simhash", i * width).bitwiseAND(F.lit(mask)).alias("bh"),
                 )
                 for i in range(chunks)
             ])
         ).alias("cp"),
-    ).select("_id", "simhash", "cp.chunk", "cp.piece")
-    l = banded.select(F.col("_id").alias("a"), F.col("simhash").alias("_ha"), "chunk", "piece")
-    r = banded.select(F.col("_id").alias("b"), F.col("simhash").alias("_hb"), "chunk", "piece")
-    cand = l.join(r, ["chunk", "piece"]).filter(F.col("a") < F.col("b"))
+    ).select("_id", "cp.band", "cp.bh")
+    pairs = _banded_pairs(banded, max_bucket)
+    sa = sims.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"))
+    sb = sims.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"))
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
     return (
-        cand.select("a", "b", ham.alias("hamming"))
+        pairs.join(sa, "a").join(sb, "b")
+        .select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )

@@ -110,6 +110,7 @@ def merge_upsert(
     keys: list[str],
     set_union_cols: list[str] | None = None,
     last_write_cols: list[str] | None = None,
+    map_union_cols: list[str] | None = None,
 ) -> DataFrame:
     """S9 — Mongo bulk UpdateOne($set + $addToSet, upsert=True)
     (databases/mongodb.py:68-164) as a DataFrame merge:
@@ -117,22 +118,31 @@ def merge_upsert(
     - rows only in ``updates`` are inserted,
     - matched rows take update values for ``last_write_cols`` ($set),
     - matched array columns in ``set_union_cols`` are set-unioned
-      ($addToSet), sorted for determinism.
+      ($addToSet), sorted for determinism,
+    - matched map-of-array columns in ``map_union_cols`` take the union
+      of keys, set-unioning the arrays under shared keys — the
+      reference's nested ``$addToSet: {field.project: {$each: [...]}}``
+      over the wallet ``protocols`` dict (databases/mongodb.py:110-118,
+      models/wallet/wallet.py:33-45).
 
     On an Iceberg/Delta catalog this is a single MERGE INTO; the
     DataFrame formulation keeps identical semantics on plain Parquet.
     """
+    from ..functions.maps import merge_maps_array_union
+
     set_union_cols = set_union_cols or []
+    map_union_cols = map_union_cols or []
+    merged_cols = set_union_cols + map_union_cols
     last_write_cols = last_write_cols or [
-        c for c in updates.columns if c not in keys and c not in set_union_cols
+        c for c in updates.columns if c not in keys and c not in merged_cols
     ]
     e = existing.select(
         *keys,
-        *[F.col(c).alias(f"_e_{c}") for c in last_write_cols + set_union_cols],
+        *[F.col(c).alias(f"_e_{c}") for c in last_write_cols + merged_cols],
     )
     u = updates.select(
         *keys,
-        *[F.col(c).alias(f"_u_{c}") for c in last_write_cols + set_union_cols],
+        *[F.col(c).alias(f"_u_{c}") for c in last_write_cols + merged_cols],
     )
     j = e.join(u, keys, "full_outer")
     out_cols = [F.col(k) for k in keys]
@@ -148,5 +158,9 @@ def merge_upsert(
                     )
                 )
             ).alias(c)
+        )
+    for c in map_union_cols:
+        out_cols.append(
+            merge_maps_array_union(F.col(f"_e_{c}"), F.col(f"_u_{c}")).alias(c)
         )
     return j.select(*out_cols)

@@ -69,13 +69,36 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((planes, dim)).tolist()
 
 
-def _signature(vec_col, hyperplanes: list[list[float]]):
-    bits = None
-    for i, h in enumerate(hyperplanes):
-        arr = F.array(*[F.lit(float(x)) for x in h])
-        bit = F.when(_dot(vec_col, arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits.bitwiseOR(bit)
-    return bits.cast("long")
+def _plane_dots(vec_col, hyperplanes: list[list[float]]):
+    """Array column of per-hyperplane dot products (staged once so sig and
+    margins don't recompute the projections)."""
+    return F.array(*[
+        _dot(vec_col, F.array(*[F.lit(float(x)) for x in h])) for h in hyperplanes
+    ])
+
+
+def _sig_from_dots(dots_col, planes: int):
+    """Sign-bit signature from the staged projection array (static shifts
+    — the plane count is a compile-time constant)."""
+    bits = F.lit(0).cast("long")
+    for i in range(planes):
+        bits = bits.bitwiseOR(
+            F.when(dots_col.getItem(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+    return bits
+
+
+def _probe_subsets(probes: int, planes: int) -> list[tuple[int, ...]]:
+    """First ``probes`` subsets of the lowest-margin plane *slots*,
+    ordered by (popcount, lexicographic): (), (0,), (1,), (0,1), ...
+    The slot->plane mapping is data-dependent (per query); the subset
+    pattern is static."""
+    m = min(planes, max(1, (max(probes, 1) - 1).bit_length()))
+    subsets = sorted(
+        (tuple(j for j in range(m) if mask >> j & 1) for mask in range(1 << m)),
+        key=lambda s: (len(s), s),
+    )
+    return subsets[:probes]
 
 
 def lsh_topk(
@@ -84,24 +107,69 @@ def lsh_topk(
     k: int = 10,
     dim: int | None = None,
     planes: int = 8,
+    probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k probing only the query's sign bucket."""
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    ``probes`` enables multi-probe: each query additionally probes the
+    buckets reached by flipping subsets of its lowest-|margin| sign bits
+    (the planes it was closest to), trading candidate-set size for
+    recall without re-hashing the vector side. probes=1 is the classic
+    single-bucket probe.
+
+    ``dim`` should be passed when known (it sizes the deterministic
+    hyperplane table); when None it is inferred from the first row of the
+    *query* side — the small side, but still one extra Spark job.
+    """
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        dim = len(queries.select(query_vec_col).first()[0])
     hp = _hyperplanes(dim, planes, seed)
     v = vectors.select(
-        F.col(id_col), F.col(vec_col).alias("_v"), _signature(F.col(vec_col), hp).alias("_sig")
-    )
-    q = queries.select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        _plane_dots(F.col(vec_col), hp).alias("_vd"),
+    ).select(id_col, "_v", _sig_from_dots(F.col("_vd"), planes).alias("_sig"))
+    q0 = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).alias("_q"),
-        _signature(F.col(query_vec_col), hp).alias("_sig"),
+        _plane_dots(F.col(query_vec_col), hp).alias("_d"),
     )
+    # plane indices ordered by |margin| ascending (struct sort: margin
+    # first, index tie-break)
+    order = F.transform(
+        F.array_sort(
+            F.zip_with(
+                F.col("_d"),
+                F.sequence(F.lit(0), F.lit(planes - 1)),
+                lambda d, i: F.struct(F.abs(d).alias("m"), i.alias("i")),
+            )
+        ),
+        lambda s: s["i"],
+    )
+    base = _sig_from_dots(F.col("_d"), planes)
+    q1 = q0.select(query_id_col, "_q", base.alias("_sig0"), order.alias("_ord"))
+    probe_sigs = []
+    for subset in _probe_subsets(probes, planes):
+        sig = F.col("_sig0")
+        for slot in subset:
+            # shiftleft with a Column bit position (the PySpark wrapper
+            # only takes a Python int)
+            sig = sig.bitwiseXOR(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.col("_ord").getItem(slot)
+                )
+            )
+        probe_sigs.append(sig)
+    q = q1.select(
+        query_id_col, "_q",
+        F.explode(F.array_distinct(F.array(*probe_sigs))).alias("_sig"),
+    )
+    # each vector holds exactly one signature and probe sigs are distinct,
+    # so a (query, vector) pair matches at most once — no dedup needed
     scored = q.join(v, "_sig").select(
         query_id_col, id_col, cosine(F.col("_q"), F.col("_v")).alias("cos")
     )

@@ -86,3 +86,38 @@ def test_pagerank_strategies_agree(spark):
     base = results["broadcast"]
     for strat in ("copartition", "blocked"):
         assert max(abs(results[strat][k] - base[k]) for k in base) < 1e-12
+
+
+def test_pagerank_one_spark_job_per_superstep(spark):
+    """The dangling-mass sum is fused into the delta aggregate: each
+    superstep launches exactly ONE Spark action/job (setup jobs aside).
+    Verified by differencing job counts between a 3- and a 6-superstep
+    run. AQE is disabled for the measurement (it splits one action into
+    one job per query stage) and the copartition strategy avoids
+    broadcast-exchange jobs — neither changes the action count."""
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 3)]  # includes a dangling sink
+    edges = datagen.edges_df(spark, pairs)
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # a BroadcastExchange materializes through its own (future) job even
+    # inside a single action — disable it so jobs == actions
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def jobs_for(max_iter, group):
+            sc.setJobGroup(group, group, interruptOnCancel=False)
+            res = pagerank(
+                spark, edges, tol=0.0, max_iter=max_iter, weighted=False,
+                directed=True, strategy="copartition",
+            )
+            sc.setJobGroup(None, None)
+            assert res.supersteps == max_iter
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        j3 = jobs_for(3, "pr_jobs_3")
+        j6 = jobs_for(6, "pr_jobs_6")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
+    assert j6 - j3 == 3, (j3, j6)

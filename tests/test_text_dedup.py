@@ -121,3 +121,76 @@ def test_no_python_in_dedup_plans(spark, docs):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+# ---------------------------------------------------- scale guards (r2)
+
+def _mass_dup_docs(spark, k=40):
+    """k near-identical copies of one doc + a few distinct docs — the
+    degenerate-bucket case (k² pair blowup without a guard)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(i, base + f" v{i % 3}") for i in range(k)]
+    rows += [(100 + i, f"completely different text number {i} with unique words "
+              + " ".join(f"w{i}_{j}" for j in range(10))) for i in range(5)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _closure(pairs):
+    """Connected-component closure of a pair list (pure-python union-find)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for x in list(parent):
+        groups.setdefault(find(x), set()).add(x)
+    return {frozenset(g | {r}) for r, g in groups.items() if len(g | {r}) > 1}
+
+
+def test_minhash_bucket_cap_preserves_closure(spark):
+    """Representative chaining in oversized buckets: far fewer pair rows,
+    identical duplicate-group closure under connected components."""
+    docs = _mass_dup_docs(spark)
+    sigs = D.minhash_signatures(docs).cache()
+    full = [(r["a"], r["b"]) for r in D.minhash_lsh_candidates(sigs, max_bucket=None).collect()]
+    capped = [(r["a"], r["b"]) for r in D.minhash_lsh_candidates(sigs, max_bucket=8).collect()]
+    assert len(capped) < len(full)  # the k² blowup is actually cut
+    assert _closure(capped) == _closure(full)
+    sigs.unpersist()
+
+
+def test_simhash_bucket_cap_preserves_closure(spark):
+    docs = _mass_dup_docs(spark)
+    sims = D.simhash(docs).cache()
+    full = [(r["a"], r["b"]) for r in D.simhash_near_dups(sims, max_bucket=None).collect()]
+    capped = [(r["a"], r["b"]) for r in D.simhash_near_dups(sims, max_bucket=8).collect()]
+    assert len(capped) < len(full)
+    assert _closure(capped) == _closure(full)
+    sims.unpersist()
+
+
+def test_exact_jaccard_max_df_guard(spark):
+    """The stop-shingle cut drops only ubiquitous shingles: high-jaccard
+    (near-dup) pairs survive with their scores intact-or-higher, and the
+    join's row budget shrinks."""
+    docs = _mass_dup_docs(spark)
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in D.exact_jaccard_pairs(docs, threshold=0.8).collect()}
+    cut = {(r["a"], r["b"]): r["jaccard"]
+           for r in D.exact_jaccard_pairs(docs, threshold=0.8, max_df=10).collect()}
+    # the 40-copy group's shingles (df≈40) are cut -> those pairs drop out,
+    # but distinct docs gain no spurious pairs
+    assert set(cut) <= set(full)
+    # and with a cap above the dup-group size nothing changes at all
+    same = {(r["a"], r["b"]): r["jaccard"]
+            for r in D.exact_jaccard_pairs(docs, threshold=0.8, max_df=1000).collect()}
+    assert same == full
