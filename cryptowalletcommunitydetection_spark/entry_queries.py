@@ -742,22 +742,31 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_minhash_verified(spark, sf_dir):
-    """MinHash LSH candidates verified by signature-agreement estimate."""
-    sigs = dd.minhash_signatures(_t(spark, sf_dir, "documents"))
+    """MinHash LSH candidates verified by EXACT per-pair Jaccard — the
+    candidate->verify pipeline end to end. The oracle is the full exact
+    jaccard_pairs SQL: equality holds iff banded LSH recall over the
+    >=0.5-Jaccard pairs is 100% on this corpus (it is — 16 bands x 4
+    rows; a recall shortfall or a verification bug both break the gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
     cands = dd.minhash_lsh_candidates(sigs)
-    est = dd.estimate_jaccard(sigs, cands)
-    return est.filter(F.col("est_jaccard") >= 0.5).select("a", "b")
+    return dd.verify_exact_jaccard(docs, cands, threshold=0.5)
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF coarse-quantized ANN (probe nearest centroid lists)."""
+    """IVF machinery under exhaustive probing (nprobe == n_centroids):
+    assignment must PARTITION the vectors (each scored exactly once) and
+    probe routing/scoring/ranking must compose to the exact brute-force
+    top-k — a lost, duplicated, or misrouted vector breaks equality.
+    (The recall/cost trade at nprobe < n_centroids is pytest-covered in
+    tests/test_similarity.py.)"""
     emb = _t(spark, sf_dir, "embeddings")
     queries = (
         emb.orderBy("vec_id")
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return sim.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=3).select(
+    return sim.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=8).select(
         "query_id", "vec_id", "rank"
     )
 
@@ -786,38 +795,123 @@ def q_simhash_sigs(spark, sf_dir):
     return dd.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_complete(spark, sf_dir):
+    """Pigeonhole-completeness property of the banded simhash join,
+    checked end-to-end IN the engine: the banded candidate pairs at
+    hamming <= chunks-1 must equal the brute-force all-pairs enumeration
+    (symmetric difference empty on both sides). The oracle pins both
+    counts to 0 — a missed or spurious pair breaks the gate."""
+    sims = dd.simhash(_t(spark, sf_dir, "documents")).cache()
+    banded = dd.simhash_near_dups(sims, max_hamming=3).select("a", "b")
+    sa = sims.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
+    sb = sims.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))
+    brute = (
+        sa.crossJoin(sb)
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= 3)
+        .select("a", "b")
+    )
+    missed = brute.exceptAll(banded).count()
+    spurious = banded.exceptAll(brute).count()
+    return spark.createDataFrame(
+        [("brute_minus_banded", missed), ("banded_minus_brute", spurious)],
+        "prop string, n long",
+    )
+
+
 def q_winnow_fingerprints(spark, sf_dir):
-    return tx.fingerprint_winnow(_t(spark, sf_dir, "documents"))
+    """Winnowing fingerprints in the md5hex hash mode — value-identical
+    to the DuckDB twin (same k-grams, same windowed min on fixed-width
+    hex, same distinct); the xxhash64 production mode shares every
+    expression except the gram hash."""
+    return tx.fingerprint_winnow(
+        _t(spark, sf_dir, "documents"), hash_mode="md5hex"
+    )
 
 
 def q_pagerank_converged(spark, sf_dir):
-    """The headline operator: PageRank run to 1e-6 L1 convergence."""
+    """The headline operator: PageRank run to convergence (tol tight
+    enough that rounding to 5 decimals is stable against the DuckDB
+    recursive-CTE power iteration run far past convergence)."""
     edges = _cooccur_edges(spark, sf_dir)
-    res = pagerank(spark, edges, tol=1e-6, weighted=True)
-    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+    res = pagerank(spark, edges, tol=1e-9, weighted=True, max_iter=400)
+    return res.ranks.select("id", F.round("rank", 5).alias("rank"))
 
 
 def q_files_edge_derivation(spark, sf_dir):
-    """North-rule path: synthetic files table -> extraction -> co-occurrence
-    edges (mapInPandas extraction is not SQL-expressible; pytest holds the
-    pure-Python oracle, tests/test_edges.py)."""
-    from . import datagen
+    """G2 end to end on real input: content -> mapInPandas regex entity
+    extraction -> within-group co-occurrence edge table. The documents
+    table stands in as the corpus (one group per doc); the DuckDB twin
+    re-derives the same edges with regexp_extract_all + a self-join.
+    (The synthetic files-table path with the import-statement pattern
+    keeps its pure-Python oracle in tests/test_edges.py.)"""
+    from .graph.edges import cooccurrence_edges, extract_entities
 
-    files = datagen.gen_files(spark, n_repos=10, files_per_repo=10)
-    from .graph.edges import derive_edges
-
-    return derive_edges(files)
+    corpus = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("c0").alias("commit"),
+        F.col("text").alias("content"),
+    )
+    ents = extract_entities(corpus, pattern=r"[a-z]{5,}")
+    return cooccurrence_edges(ents, max_entities_per_group=1000)
 
 
 def q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH machinery under exhaustive multi-probe
+    (probes == 2^planes): the probe enumeration must cover the bucket
+    space exactly once per bucket, signatures must agree between the
+    query and vector sides, and per-bucket scoring + global ranking must
+    recompose the exact brute-force top-k. (Recall at realistic probe
+    counts is bound by q_lsh_recall and tests/test_similarity.py.)"""
     emb = _t(spark, sf_dir, "embeddings")
     queries = (
         emb.orderBy("vec_id")
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return sim.lsh_topk(emb, queries, k=10, planes=6).select(
+    return sim.lsh_topk(emb, queries, k=10, dim=64, planes=6, probes=64).select(
         "query_id", "vec_id", "rank"
+    )
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Multi-probe recall property, computed in-engine against the exact
+    brute-force top-10: for every query, 16-probe recall must strictly
+    beat single-probe recall and retrieve at least 2 true neighbors. The
+    oracle pins the expected (query_id, true, true) rows."""
+    emb = _t(spark, sf_dir, "embeddings").cache()
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    truth = sim.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+
+    def hits(probes):
+        got = sim.lsh_topk(
+            emb, queries, k=10, dim=64, planes=6, probes=probes
+        ).select("query_id", "vec_id")
+        return (
+            got.join(truth, ["query_id", "vec_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+    h1 = hits(1).withColumnRenamed("hits", "h1")
+    h16 = hits(16).withColumnRenamed("hits", "h16")
+    j = (
+        queries.select("query_id")
+        .join(h1, "query_id", "left")
+        .join(h16, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h1", F.lit(0)).alias("h1"),
+            F.coalesce("h16", F.lit(0)).alias("h16"),
+        )
+    )
+    return j.select(
+        "query_id",
+        (F.col("h16") > F.col("h1")).alias("multi_beats_single"),
+        (F.col("h16") >= 2).alias("multi_recall_floor"),
     )
 
 
@@ -860,6 +954,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "pagerank_weighted8": q_pagerank_weighted,
     "simhash_near_dups": q_simhash_near_dups,
+    "simhash_complete": q_simhash_complete,
     "minhash_verified": q_minhash_verified,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
@@ -873,6 +968,7 @@ QUERIES = {
     "simhash_sigs": q_simhash_sigs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "lsh_topk": q_lsh_topk,
+    "lsh_recall": q_lsh_recall,
 }
 
 
@@ -958,6 +1054,59 @@ nn AS (SELECT count(*)::DOUBLE AS n FROM v),
 r0 AS (SELECT id, (SELECT 1.0 / n FROM nn) AS rank FROM v)"""
         + "," + ",".join(its)
         + f"\nSELECT id, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+_JACCARD_SQL = """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents),
+sh AS (SELECT doc_id, sh FROM toks,
+       unnest(list_distinct(CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
+         ELSE []::VARCHAR[] END)) AS u(sh)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT a, b, c / (na.n + nb.n - c) AS jaccard
+FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
+WHERE c / (na.n + nb.n - c) >= 0.5
+"""
+
+_ANN_EXACT_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(q.query_vec, e.embedding) AS cos
+           FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
+def _pagerank_recursive_sql(iters: int) -> str:
+    """Weighted-PageRank power iteration as a DuckDB recursive CTE (the
+    unrolled-CTE form planner-explodes past ~40 iterations; the recursive
+    working-table form runs 160 iterations in ~3s). The symmetrized
+    co-occurrence graph has no dangling vertices, so the dangling-mass
+    term vanishes and every vertex receives a contribution each step."""
+    return (
+        "WITH RECURSIVE " + _COOCCUR_SQL + f""",
+sym AS (SELECT src, dst, weight FROM ce UNION ALL SELECT dst AS src, src AS dst, weight FROM ce),
+wsum AS (SELECT src AS id, sum(weight) AS ws FROM sym GROUP BY 1),
+v AS (SELECT DISTINCT src AS id FROM sym),
+nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+r AS (
+  SELECT 0 AS k, id, (SELECT 1.0 / n FROM nn) AS rank FROM v
+  UNION ALL
+  SELECT k + 1, dst AS id,
+         (SELECT 0.15 / n FROM nn) + 0.85 * contrib AS rank
+  FROM (
+    SELECT r.k AS k, s.dst, sum(r.rank * s.weight / w.ws) AS contrib
+    FROM r JOIN sym s ON s.src = r.id JOIN wsum w ON w.id = s.src
+    WHERE r.k < {iters}
+    GROUP BY r.k, s.dst)
+)
+SELECT id, round(rank, 5) AS rank FROM r WHERE k = {iters}"""
     )
 
 
@@ -1119,27 +1268,50 @@ SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) 
 FROM documents
 """,
     "lang_detect": _lang_detect_sql(),
-    "jaccard_pairs": """
-WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents),
-sh AS (SELECT doc_id, sh FROM toks,
-       unnest(list_distinct(CASE WHEN len(words) >= 3
-         THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
-         ELSE []::VARCHAR[] END)) AS u(sh)),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-           FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id GROUP BY 1, 2)
-SELECT a, b, c / (na.n + nb.n - c) AS jaccard
-FROM common JOIN sizes na ON a = na.doc_id JOIN sizes nb ON b = nb.doc_id
-WHERE c / (na.n + nb.n - c) >= 0.5
+    "jaccard_pairs": _JACCARD_SQL,
+    # the LSH-candidate + exact-verify pipeline must reproduce the full
+    # exact enumeration (100% banded recall over >=0.5-Jaccard pairs)
+    "minhash_verified": _JACCARD_SQL,
+    "embedding_topk": _ANN_EXACT_SQL,
+    # exhaustive-probe equivalence oracles: partition/coverage + scoring
+    # + ranking must recompose the exact answer (see the query docstrings)
+    "ivf_topk": _ANN_EXACT_SQL,
+    "lsh_topk": _ANN_EXACT_SQL,
+    "lsh_recall": """
+SELECT vec_id AS query_id, true AS multi_beats_single, true AS multi_recall_floor
+FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
 """,
-    "embedding_topk": """
-WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 5),
-scored AS (SELECT q.query_id, e.vec_id,
-                  list_cosine_similarity(q.query_vec, e.embedding) AS cos
-           FROM q CROSS JOIN embeddings e)
-SELECT query_id, vec_id, rank FROM (
-  SELECT query_id, vec_id,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-  FROM scored) WHERE rank <= 10
+    "simhash_complete": """
+SELECT 'brute_minus_banded' AS prop, 0::BIGINT AS n
+UNION ALL SELECT 'banded_minus_brute', 0::BIGINT
 """,
+    "multimodal_features": """
+SELECT doc_id::VARCHAR AS asset_id, octet_length(encode(text)) AS n_bytes, 8 AS dim
+FROM documents
+""",
+    "winnow_fingerprints": """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8
+           THEN list_transform(range(1, length(text) - 6),
+                               i -> substr(md5(substr(text, i, 8)), 1, 15))
+           ELSE []::VARCHAR[] END AS grams
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4
+           THEN list_transform(range(1, len(grams) - 2),
+                               j -> list_aggregate(list_slice(grams, j, j + 3), 'min'))
+           ELSE []::VARCHAR[] END AS mins
+  FROM g)
+SELECT doc_id, fp_hash FROM m, unnest(list_distinct(mins)) AS u(fp_hash)
+""",
+    "files_edge_derivation": """
+WITH ents AS (SELECT DISTINCT doc_id, e
+              FROM documents, unnest(regexp_extract_all(text, '[a-z]{5,}')) AS u(e))
+SELECT a.e AS src, b.e AS dst, count(*) AS weight
+FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.e < b.e
+GROUP BY 1, 2
+""",
+    "pagerank_converged": _pagerank_recursive_sql(160),
 }

@@ -233,6 +233,32 @@ def exact_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def verify_exact_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs —
+    the verification stage of the candidate->verify dedup pipeline.
+
+    Per-pair cost is array_intersect over the two docs' staged shingle
+    arrays (JVM, no inverted-index blowup): work scales with
+    |pairs| x doc length, the right shape when candidates are LSH-pruned.
+    Output: (a, b, jaccard) for pairs at/above ``threshold``."""
+    staged = df.select(F.col(id_col), word_tokens(text_col).alias("_w")).select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes_from_words(F.col("_w"), shingle_n)).alias("_sh"),
+    )
+    sa = staged.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sa"))
+    sb = staged.select(F.col(id_col).alias("b"), F.col("_sh").alias("_sb"))
+    j = pairs.join(sa, "a").join(sb, "b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    out = j.select(
+        "a", "b", (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

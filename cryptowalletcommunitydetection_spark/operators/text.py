@@ -93,20 +93,32 @@ def detect_language(col) -> Column:
 
 def fingerprint_winnow(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 8, window: int = 4,
+    k: int = 8, window: int = 4, hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     rolling k-gram hashes, minimum per sliding window of ``window``
-    hashes, distinct. Output: DataFrame[id_col, fp_hash long] (several
+    hashes, distinct. Output: DataFrame[id_col, fp_hash] (several
     rows per doc). All array expressions — no shuffle until the final
-    explode, no Python."""
+    explode, no Python.
+
+    ``hash_mode``: "xxhash64" (long, fastest — the production path) or
+    "md5hex" (first 15 hex chars of md5 as a string; lexicographic order
+    on fixed-width lowercase hex == unsigned numeric order, and md5 is
+    reproducible in DuckDB — the oracle-checkable path)."""
     c = F.col(text_col)
     n = F.length(c) - F.lit(k - 1)
     # sequence(a, b) counts DOWN when a > b — guard the empty cases
-    empty = F.array().cast("array<bigint>")
+    if hash_mode == "xxhash64":
+        empty = F.array().cast("array<bigint>")
+        gram_hash = lambda i: F.xxhash64(c.substr(i, F.lit(k)))
+    elif hash_mode == "md5hex":
+        empty = F.array().cast("array<string>")
+        gram_hash = lambda i: F.substring(F.md5(c.substr(i, F.lit(k))), 1, 15)
+    else:
+        raise ValueError(f"unknown hash_mode: {hash_mode}")
     grams = F.when(
         n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(c.substr(i, F.lit(k)))),
+        F.transform(F.sequence(F.lit(1), n), gram_hash),
     ).otherwise(empty)
     # materialize grams as a column BEFORE the windowed-min pass: an
     # expression referenced inside a lambda is re-evaluated per element
