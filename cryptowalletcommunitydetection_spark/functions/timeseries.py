@@ -65,10 +65,14 @@ def asof_join(
     on: str = "ts",
     by: str | list[str] | None = None,
     direction: str = "backward",
+    suffix: str = "_right",
 ) -> DataFrame:
     """J6 — as-of join: attach to each left row the right row with the
     greatest ``on`` <= left's ``on`` (backward; ties include equal
-    timestamps), matched within ``by`` keys.
+    timestamps), matched within ``by`` keys. Right-side payload columns
+    that collide with a left column are emitted as ``<c><suffix>``
+    (pandas ``merge_asof`` convention) so by-name selection downstream
+    stays unambiguous.
 
     The reference does this with a cached interpolation search over the
     monotone (block, timestamp) graph per lookup
@@ -119,8 +123,10 @@ def asof_join(
         *lcols,
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in rcols],
     )
+    out_names = {c: (c + suffix if c in lcols else c) for c in rcols}
     return filled.filter(F.col("_side") == 1).select(
-        *by, F.col(on), *lcols, *[F.col(f"_r_{c}").alias(c) for c in rcols]
+        *by, F.col(on), *lcols,
+        *[F.col(f"_r_{c}").alias(out_names[c]) for c in rcols],
     )
 
 

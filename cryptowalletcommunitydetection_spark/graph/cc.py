@@ -130,7 +130,11 @@ def connected_components(
             # one-sided except ⟺ equal distinct sets)
             delta = stepped.exceptAll(prev).count()
         else:
-            delta = 1
+            # changed round: the exact symmetric difference is not
+            # computed (it would double the per-round work); record None
+            # ("unchecked") rather than a fake count — resume only needs
+            # delta == 0
+            delta = None
         prev_sketch = sketch
         if manifest is not None:
             manifest.record_superstep(

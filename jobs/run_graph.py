@@ -38,7 +38,8 @@ def main():
     ap.add_argument("--alpha", type=float, default=0.85)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=300)
-    ap.add_argument("--weighted", action="store_true", default=True)
+    ap.add_argument("--weighted", action=argparse.BooleanOptionalAction, default=True,
+                    help="--no-weighted ignores the weight column")
     ap.add_argument("--directed", action="store_true")
     args = ap.parse_args()
 

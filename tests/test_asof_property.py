@@ -67,3 +67,20 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
         expected = {int(r_.rowid): None for r_ in left_pdf.itertuples()}
 
     assert got == expected
+
+
+def test_asof_join_column_collision_suffixed(spark):
+    """Right payload columns colliding with a left column come back as
+    <col>_right (pandas merge_asof convention) instead of a duplicate."""
+    from cryptowalletcommunitydetection_spark.functions.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5, 50), ("u", 9, 90)], "uid string, ts long, value long"
+    )
+    right = spark.createDataFrame(
+        [("u", 4, 1), ("u", 8, 2)], "uid string, ts long, value long"
+    )
+    out = asof_join(left, right, on="ts", by="uid")
+    assert sorted(out.columns) == ["ts", "uid", "value", "value_right"]
+    rows = {r["ts"]: (r["value"], r["value_right"]) for r in out.collect()}
+    assert rows == {5: (50, 1), 9: (90, 2)}

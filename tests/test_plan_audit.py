@@ -87,3 +87,44 @@ def test_pagerank_superstep_edge_side_not_reshuffled(spark):
     assert "InMemoryTableScan" in plan
     assert "Exchange" not in cached_scan.split("BroadcastHashJoin", 1)[-1]
     ne.unpersist()
+
+
+def test_bucketed_edges_skip_shuffle(spark, tmp_path):
+    """write_edges buckets+sorts by src; a subsequent groupBy(src) and a
+    src-keyed self-join read the bucketed scan with NO Exchange on the
+    edge side (SURVEY.md §4 physical-layout promise)."""
+    from pyspark.sql import functions as F
+
+    from cryptowalletcommunitydetection_spark.sources.files import (
+        read_edges, write_edges,
+    )
+
+    edges = EQ._bipartite_edges(spark, SF_DIR)
+    n_buckets = 8
+    write_edges(edges, "edges_bucketed_test", path=str(tmp_path / "eb"),
+                buckets=n_buckets)
+    try:
+        br = read_edges(spark, "edges_bucketed_test")
+        assert br.count() == edges.count()
+        # out-degree aggregation straight off the bucketed scan
+        agg_plan = br.groupBy("src").agg(F.sum("weight").alias("w"))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+        assert "Bucketed: true" in agg_plan, agg_plan
+        # src-keyed join of two bucketed reads: no shuffle on either side
+        # (broadcast disabled so the planner actually uses the buckets —
+        # a broadcast join wouldn't exercise the layout)
+        abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            l, r = read_edges(spark, "edges_bucketed_test"), read_edges(
+                spark, "edges_bucketed_test")
+            jplan = l.join(r.withColumnRenamed("dst", "dst2")
+                            .withColumnRenamed("weight", "w2"), "src")._jdf \
+                .queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
+        assert "Exchange" not in jplan, jplan
+        assert "Bucketed: true" in jplan, jplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
