@@ -731,6 +731,146 @@ def q_pagerank_weighted(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_native_transfer_filter(spark, sf_dir):
+    """P4: the reference's native-transfer predicate (input == '0x' AND
+    value != '0' AND receipt_status == 1, databases/blockchain_etl.py:68-75)
+    applied to a transfers-shaped frame derived deterministically from
+    orders; the oracle re-derives the survivors relationally."""
+    from .operators.relational import native_transfer_filter
+
+    o = _t(spark, sf_dir, "orders")
+    txs = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("0x"))
+        .otherwise(F.lit("0xab"))
+        .alias("input"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("0"))
+        .otherwise(F.lit("123"))
+        .alias("value"),
+        (F.col("o_orderkey") % 2).cast("int").alias("receipt_status"),
+    )
+    return native_transfer_filter(txs).select("o_orderkey")
+
+
+def q_recency_filter(spark, sf_dir):
+    """P7: keep keys whose LATEST event is at/after the cutoff (30-day
+    recency semantics, jobs/lending_wallets_job.py:68-78) — all rows of
+    qualifying users survive, stale users drop wholesale."""
+    from .operators.relational import recency_filter
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    kept = recency_filter(ev, "user_id", "ts", "2024-01-20 00:00:00")
+    return kept.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def q_split_composite_key(spark, sf_dir):
+    """F2/F3 roundtrip: build the reference's chain_address composite key
+    (databases/mongodb.py:71) then split it back
+    (jobs/lending_wallets_job.py:55)."""
+    from .functions.scalar import composite_key, split_composite_key
+
+    c = _t(spark, sf_dir, "customer")
+    keyed = c.select(
+        composite_key(F.lit("0x38"), F.col("c_custkey").cast("string")).alias("ck")
+    )
+    chain, addr = split_composite_key("ck", 2)
+    return keyed.select(chain.alias("chain"), addr.alias("addr"))
+
+
+def q_regexp_allowlist(spark, sf_dir):
+    """F8: strip disallowed characters (utils/format_utils.py:46-56) from
+    noised part names."""
+    from .functions.scalar import regexp_allowlist
+
+    p = _t(spark, sf_dir, "part")
+    noised = p.select(
+        "p_partkey", F.concat(F.col("p_name"), F.lit("!?<@#>")).alias("raw")
+    )
+    return noised.select("p_partkey", regexp_allowlist("raw").alias("clean"))
+
+
+def q_ttl_prune(spark, sf_dir):
+    """W2/T6: prune_change_logs semantics (utils/list_dict_utils.py:75-95,
+    utils/utils.py:213-218): pre-aggregate per (key, ts), keep ONE entry
+    per day bucket per key (latest wins), drop entries older than the TTL
+    watermark."""
+    from .functions.timeseries import keep_one_per_bucket, prune_old
+
+    cutoff = 1704931200  # 2024-01-11 00:00:00 UTC
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts"),
+        "value",
+    )
+    pre = ev.groupBy("event_type", "ts").agg(F.round(F.sum("value"), 4).alias("v"))
+    one = keep_one_per_bucket(pre, key="event_type", ts="ts", interval=86400)
+    return prune_old(one, "ts", cutoff).select("event_type", "bucket", "ts", "v")
+
+
+def q_pagerank_resume(spark, sf_dir):
+    """S10/G10 at the gate: a run checkpointed at superstep 6 resumes
+    from its manifest and continues to 12 — the resumed result must be
+    bit-identical to the straight 12-iteration oracle (checkpoint state
+    round-trips through Parquet doubles exactly)."""
+    import shutil
+    import tempfile
+
+    edges = _cooccur_edges(spark, sf_dir)
+    run_dir = tempfile.mkdtemp(prefix="pr_resume_gate_")
+    try:
+        pagerank(spark, edges, tol=0.0, max_iter=6, weighted=False, run_dir=run_dir)
+        res = pagerank(
+            spark, edges, tol=0.0, max_iter=12, weighted=False, run_dir=run_dir
+        )
+        out = res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        # materialize before the checkpoint dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def q_incremental_cursor(spark, sf_dir):
+    """T1 at the gate: the cursor-advancing incremental runner (the
+    reference's last_synced loop, cli/exchange_deposit_wallets.py:84-123)
+    processes the events table in three tumbling windows, merging partial
+    per-user counts into running state — the final state must equal the
+    one-shot batch aggregation."""
+    import shutil
+    import tempfile
+
+    from .streaming.incremental import IncrementalRunner
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts")
+    ).cache()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    period = (hi - lo) // 3 + 1
+    cursor_dir = tempfile.mkdtemp(prefix="cursor_gate_")
+    state = {"df": None}
+
+    def process(w_lo, w_hi):
+        part = (
+            ev.filter((F.col("ts") >= w_lo) & (F.col("ts") < w_hi))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        state["df"] = (
+            part if state["df"] is None
+            else state["df"].unionByName(part).groupBy("user_id")
+            .agg(F.sum("n_events").alias("n_events"))
+        )
+
+    try:
+        runner = IncrementalRunner(cursor_dir, start=lo, period=period)
+        n = runner.run_until(lo + 3 * period, process)
+        assert n == 3, n
+        return state["df"].select("user_id", F.col("n_events").cast("long").alias("n_events"))
+    finally:
+        shutil.rmtree(cursor_dir, ignore_errors=True)
+
+
 # ------------------------------------------------- rows-only (non-SQL ops)
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -950,6 +1090,13 @@ QUERIES = {
     "degree_distribution": q_degree_distribution,
     "parse_scalars": q_parse_scalars,
     "date_roundtrip": q_date_roundtrip,
+    "native_transfer_filter": q_native_transfer_filter,
+    "recency_filter": q_recency_filter,
+    "split_composite_key": q_split_composite_key,
+    "regexp_allowlist": q_regexp_allowlist,
+    "ttl_prune": q_ttl_prune,
+    "pagerank_resume": q_pagerank_resume,
+    "incremental_cursor": q_incremental_cursor,
     "asof_join": q_asof_join,
     "doc_stats": q_doc_stats,
     "pagerank_weighted8": q_pagerank_weighted,
@@ -1314,4 +1461,32 @@ FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.e < b.e
 GROUP BY 1, 2
 """,
     "pagerank_converged": _pagerank_recursive_sql(160),
+    "native_transfer_filter": """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 != 0 AND o_orderkey % 2 = 1
+""",
+    "recency_filter": """
+SELECT user_id, count(*) AS n_events FROM events
+WHERE user_id IN (SELECT user_id FROM events GROUP BY 1
+                  HAVING max(ts) >= TIMESTAMP '2024-01-20 00:00:00')
+GROUP BY user_id
+""",
+    "split_composite_key": """
+SELECT '0x38' AS chain, c_custkey::VARCHAR AS addr FROM customer
+""",
+    "regexp_allowlist": r"""
+SELECT p_partkey, regexp_replace(p_name || '!?<@#>', '[^0-9a-zA-Z\.\-% ]', '', 'g') AS clean
+FROM part
+""",
+    "ttl_prune": """
+WITH pre AS (SELECT event_type, floor(epoch(ts))::BIGINT AS ts, round(sum(value), 4) AS v
+             FROM events GROUP BY 1, 2),
+b AS (SELECT *, (ts // 86400) * 86400 AS bucket FROM pre),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts DESC) AS rn FROM b)
+SELECT event_type, bucket, ts, v FROM r WHERE rn = 1 AND ts >= 1704931200
+""",
+    "pagerank_resume": _pagerank_sql(12),
+    "incremental_cursor": """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+""",
 }
