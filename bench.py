@@ -49,6 +49,11 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     edges = EQ._bipartite_edges(spark, sf_dir)
     n_edges = timed("edge_derivation", lambda: edges.cache().count())
 
+    # 15-superstep warmup (same protocol as bench_scripts/scaling.py): the
+    # measured kernel is engine throughput, not first-run JVM JIT/codegen
+    # compilation (~12s of the cold wall at sf0.1)
+    pagerank(spark, edges, tol=0.0, max_iter=15, weighted=True)
+
     t0 = time.monotonic()
     res = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100)
     pr_wall = time.monotonic() - t0
@@ -62,11 +67,27 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     timed("community_rollup", lambda: EQ.q_community_rollup(spark, sf_dir).count())
     timed("group_agg", lambda: EQ.q_group_agg(spark, sf_dir).count())
     timed("exact_dedup", lambda: EQ.q_exact_dedup(spark, sf_dir).count())
-    timed("minhash_candidates", lambda: EQ.q_minhash_candidates(spark, sf_dir).count())
+    # production hash mode (xxhash64); the gate query's md5_52 variant
+    # exists only for DuckDB value parity
+    from cryptowalletcommunitydetection_spark.operators import dedup as _dd
+
+    timed(
+        "minhash_candidates",
+        lambda: _dd.minhash_lsh_candidates(
+            _dd.minhash_signatures(EQ._t(spark, sf_dir, "documents"))
+        ).count(),
+    )
     timed("embedding_topk", lambda: EQ.q_embedding_topk(spark, sf_dir).count())
     timed("token_count", lambda: EQ.q_token_count(spark, sf_dir).count())
     timed("doc_stats", lambda: EQ.q_doc_stats(spark, sf_dir).count())
-    timed("winnow_fingerprints", lambda: EQ.q_winnow_fingerprints(spark, sf_dir).count())
+    # production hash mode (xxhash64); the gate query's md5hex variant
+    # exists only for DuckDB value parity
+    from cryptowalletcommunitydetection_spark.operators import text as _tx
+
+    timed(
+        "winnow_fingerprints",
+        lambda: _tx.fingerprint_winnow(EQ._t(spark, sf_dir, "documents")).count(),
+    )
     timed("asof_join", lambda: EQ.q_asof_join(spark, sf_dir).count())
     timed("window_rank_lag", lambda: EQ.q_window_rank_lag(spark, sf_dir).count())
 

@@ -874,11 +874,14 @@ def q_incremental_cursor(spark, sf_dir):
 # ------------------------------------------------- rows-only (non-SQL ops)
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash banded Hamming near-dup pairs (sketch — rows-only)."""
-    sims = dd.simhash(_t(spark, sf_dir, "documents"))
-    # max_hamming=3 = chunks-1: the pigeonhole band join is guaranteed
-    # complete in this regime (any pair within distance 3 shares a piece)
-    return dd.simhash_near_dups(sims, max_hamming=3)
+    """SimHash banded Hamming near-dup pairs, md5_52 hash mode: the
+    pigeonhole band join at max_hamming=3 = chunks-1 is complete, so the
+    result must equal the DuckDB brute-force all-pairs enumeration over
+    the SQL-recomputed signatures (the xxhash64 production mode shares
+    every expression except the token hash; its completeness is gated by
+    simhash_complete)."""
+    sims = dd.simhash(_t(spark, sf_dir, "documents"), bits=52, hash_mode="md5_52")
+    return dd.simhash_near_dups(sims, max_hamming=3, bits=52)
 
 
 def q_minhash_verified(spark, sf_dir):
@@ -926,13 +929,19 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("asset_id", "n_bytes", F.size("feature").alias("dim"))
 
 def q_minhash_candidates(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs, md5_52 hash mode with raw
+    string band keys — the DuckDB twin recomputes the identical 64
+    permuted mins and bands, so the candidate set itself is
+    oracle-checked (not just its verified subset)."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
-    return dd.minhash_lsh_candidates(sigs)
+    sigs = dd.minhash_signatures(docs, hash_mode="md5_52")
+    return dd.minhash_lsh_candidates(sigs, band_key="string")
 
 
 def q_simhash_sigs(spark, sf_dir):
-    return dd.simhash(_t(spark, sf_dir, "documents"))
+    """Per-doc 52-bit SimHash signatures (md5_52 mode) — value-identical
+    to the SQL twin's vote-sum reconstruction."""
+    return dd.simhash(_t(spark, sf_dir, "documents"), bits=52, hash_mode="md5_52")
 
 
 def q_simhash_complete(spark, sf_dir):
@@ -1230,6 +1239,90 @@ SELECT query_id, vec_id, rank FROM (
 """
 
 
+def _md5_52_int(expr: str) -> str:
+    """Hex-prefix-of-md5 -> 52-bit integer, exactly as Spark's
+    conv(substring(md5(x),1,13),16,10): per-digit powers of 16 stay
+    integral-exact in doubles below 2^53."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 14), "
+        f"i -> (strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)"
+        " * power(16, 13 - i))) AS BIGINT)"
+    )
+
+
+def _simhash_sig_cte(bits: int = 52) -> str:
+    """CTEs computing the per-doc md5_52 SimHash signature (mirrors
+    operators/dedup.py::simhash bit for bit)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+w AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+      FROM documents),
+h AS (SELECT doc_id, {_md5_52_int('w')} AS h FROM w),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, ({sig})::BIGINT AS simhash FROM v)
+"""
+
+
+def _simhash_sigs_sql() -> str:
+    return "WITH " + _simhash_sig_cte() + "SELECT doc_id, simhash FROM s"
+
+
+def _simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    """Brute-force all-pairs Hamming over the SQL-recomputed signatures —
+    the banded pigeonhole join at max_hamming = chunks-1 must equal it."""
+    return (
+        "WITH " + _simhash_sig_cte()
+        + f"""
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+    )
+
+
+_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_candidates_sql(
+    num_hashes: int = 64, bands: int = 16, rows_per_band: int = 4
+) -> str:
+    """Banded MinHash-LSH candidates recomputed end to end in SQL
+    (mirrors minhash_signatures + minhash_lsh_candidates in md5_52 /
+    string-band-key mode): identical shingles, identical permuted mins
+    mod 2^31-1, identical comma-joined band keys."""
+    mins = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = (1_000_003 * (i + 1) + 17) % _MERSENNE
+        mins.append(f"min(({a} * h + {b}) % {_MERSENNE}) AS mh_{i}")
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || ',' || ".join(
+            f"mh_{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        + " AS bh FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS words FROM documents),
+sh AS (SELECT doc_id, sh FROM toks,
+       unnest(list_distinct(CASE WHEN len(words) >= 3
+         THEN list_transform(range(1, len(words) - 1), i -> array_to_string(list_slice(words, i, i + 2), ' '))
+         ELSE []::VARCHAR[] END)) AS u(sh)),
+hh AS (SELECT doc_id, {_md5_52_int('sh')} % {_MERSENNE} AS h FROM sh),
+sigs AS (SELECT doc_id, {', '.join(mins)} FROM hh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+"""
+
+
 def _pagerank_recursive_sql(iters: int) -> str:
     """Weighted-PageRank power iteration as a DuckDB recursive CTE (the
     unrolled-CTE form planner-explodes past ~40 iterations; the recursive
@@ -1489,4 +1582,7 @@ SELECT event_type, bucket, ts, v FROM r WHERE rn = 1 AND ts >= 1704931200
     "incremental_cursor": """
 SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """,
+    "simhash_sigs": _simhash_sigs_sql(),
+    "simhash_near_dups": _simhash_near_dups_sql(3),
+    "minhash_candidates": _minhash_candidates_sql(),
 }

@@ -59,6 +59,7 @@ def pagerank(
     run_dir: str | None = None,
     strategy: str = "auto",
     num_partitions: int | None = None,
+    adaptive_supersteps: bool | None = None,
 ) -> PageRankResult:
     """Iterative PageRank. ``edges``: src, dst [, weight].
 
@@ -160,13 +161,19 @@ def pagerank(
     start_k = 0
     # the dangling flag rides along in the state so the per-superstep agg
     # can produce the NEXT superstep's dangling mass together with the L1
-    # delta — one Spark action per superstep, not two
-    ranks = verts.join(
-        dangling.select("id", F.lit(True).alias("_dang")), "id", "left"
-    ).select(
-        "id", F.lit(1.0 / n).alias("rank"),
-        F.coalesce("_dang", F.lit(False)).alias("_dang"),
-    )
+    # delta — one Spark action per superstep, not two. Graphs with no
+    # dangling vertices (every symmetrized undirected graph) skip the
+    # flag entirely: dmass is identically 0 and the state stays 2 columns.
+    if n_dangling > 0:
+        ranks = verts.join(
+            dangling.select("id", F.lit(True).alias("_dang")), "id", "left"
+        ).select(
+            "id", F.lit(1.0 / n).alias("rank"),
+            F.coalesce("_dang", F.lit(False)).alias("_dang"),
+        )
+    else:
+        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    state_cols = ["id", "rank"] + (["_dang"] if n_dangling > 0 else [])
     # exact: the initial state is uniform, so dangling mass = |D| / n
     dmass = n_dangling / n
     # max_iter is a stopping condition, not part of the computation's
@@ -180,11 +187,14 @@ def pagerank(
         last = manifest.last_complete()
         if last >= 0:
             loaded = manifest.load_state(spark, last).select("id", "rank")
-            ranks = loaded.join(
-                dangling.select("id", F.lit(True).alias("_dang")), "id", "left"
-            ).select(
-                "id", "rank", F.coalesce("_dang", F.lit(False)).alias("_dang")
-            )
+            if n_dangling > 0:
+                ranks = loaded.join(
+                    dangling.select("id", F.lit(True).alias("_dang")), "id", "left"
+                ).select(
+                    "id", "rank", F.coalesce("_dang", F.lit(False)).alias("_dang")
+                )
+            else:
+                ranks = loaded
             start_k = last + 1
             done = [
                 s for s in manifest.supersteps
@@ -208,91 +218,111 @@ def pagerank(
     # seed with the initial pinned state so round 0 releases it (a None
     # seed leaked one |V|-sized checkpoint for the whole run)
     prev_ckpt = ranks if manifest is None else None
-    for k in range(start_k, max_iter):
-        t0 = time.monotonic()
-        if strategy == "blocked":
-            # ship each rank to the dst-blocks that reference it (one
-            # |V|·replication shuffle); the edge join and the gather are
-            # then block-local — the big edge table never moves
-            delivered = (
-                ranks.select("id", "rank").join(rt, "id")
-                .select(F.col("bj"), F.col("id").alias("_sid"), F.col("rank"))
-                .repartition(np, "bj")
-            )
-            ne, d = norm_edges.alias("e"), delivered.alias("d")
-            contrib = (
-                ne.join(
-                    d,
-                    (F.col("e.bj") == F.col("d.bj"))
-                    & (F.col("e.src") == F.col("d._sid")),
+    # AQE re-plans every query stage; for the broadcast regime (small
+    # rank table, coordination-bound supersteps) that planning overhead
+    # exceeds any runtime re-optimization win (~18% per superstep
+    # measured at sf0.1) — disable it for the loop only, restore after.
+    # The shuffle-heavy strategies keep the session setting: at scale
+    # AQE's skew-join and partition coalescing matter there.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_before = spark.conf.get(aqe_key)
+    disable_aqe = adaptive_supersteps is False or (
+        adaptive_supersteps is None and strategy == "broadcast"
+    )
+    if disable_aqe:
+        spark.conf.set(aqe_key, "false")
+    try:
+        for k in range(start_k, max_iter):
+            t0 = time.monotonic()
+            if strategy == "blocked":
+                # ship each rank to the dst-blocks that reference it (one
+                # |V|·replication shuffle); the edge join and the gather are
+                # then block-local — the big edge table never moves
+                delivered = (
+                    ranks.select("id", "rank").join(rt, "id")
+                    .select(F.col("bj"), F.col("id").alias("_sid"), F.col("rank"))
+                    .repartition(np, "bj")
                 )
-                .groupBy(F.col("e.bj"), F.col("e.dst").alias("dst"))
-                .agg(F.sum(F.col("d.rank") * F.col("e.p")).alias("_c"))
-                .select("dst", "_c")
+                ne, d = norm_edges.alias("e"), delivered.alias("d")
+                contrib = (
+                    ne.join(
+                        d,
+                        (F.col("e.bj") == F.col("d.bj"))
+                        & (F.col("e.src") == F.col("d._sid")),
+                    )
+                    .groupBy(F.col("e.bj"), F.col("e.dst").alias("dst"))
+                    .agg(F.sum(F.col("d.rank") * F.col("e.p")).alias("_c"))
+                    .select("dst", "_c")
+                )
+            else:
+                # copartition mode: no explicit repartition — the rank table
+                # is |V| rows (cheap to shuffle when needed) and its
+                # checkpointed partitioning from the previous superstep's
+                # join is preserved, so Catalyst plans the scatter join
+                # against the pre-partitioned, pre-sorted edge table without
+                # touching the edge side
+                rsmall = ranks.select("id", "rank")
+                r = F.broadcast(rsmall) if broadcast_ranks else rsmall
+                contrib = (
+                    norm_edges.join(r, norm_edges.src == r.id)
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") * F.col("p")).alias("_c"))
+                )
+            # dmass is the dangling mass of the CURRENT state, produced by the
+            # previous superstep's fused aggregate (uniform-state closed form
+            # at k=0) — no extra per-superstep action
+            base = (1.0 - alpha) / n + alpha * dmass / n
+            # join contrib back to the rank table (covers every vertex) and
+            # carry the previous rank along — the L1 delta then needs no
+            # second |V|⋈|V| join, just a single-stage agg over the
+            # checkpointed result (one fewer shuffle per superstep)
+            new_ranks = ranks.join(contrib, ranks.id == contrib.dst, "left").select(
+                ranks.id.alias("id"),
+                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+                F.col("rank").alias("_old"),
+                *([ranks["_dang"]] if n_dangling > 0 else []),
             )
-        else:
-            # copartition mode: no explicit repartition — the rank table
-            # is |V| rows (cheap to shuffle when needed) and its
-            # checkpointed partitioning from the previous superstep's
-            # join is preserved, so Catalyst plans the scatter join
-            # against the pre-partitioned, pre-sorted edge table without
-            # touching the edge side
-            rsmall = ranks.select("id", "rank")
-            r = F.broadcast(rsmall) if broadcast_ranks else rsmall
-            contrib = (
-                norm_edges.join(r, norm_edges.src == r.id)
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("p")).alias("_c"))
-            )
-        # dmass is the dangling mass of the CURRENT state, produced by the
-        # previous superstep's fused aggregate (uniform-state closed form
-        # at k=0) — no extra per-superstep action
-        base = (1.0 - alpha) / n + alpha * dmass / n
-        # join contrib back to the rank table (covers every vertex) and
-        # carry the previous rank along — the L1 delta then needs no
-        # second |V|⋈|V| join, just a single-stage agg over the
-        # checkpointed result (one fewer shuffle per superstep)
-        new_ranks = ranks.join(contrib, ranks.id == contrib.dst, "left").select(
-            ranks.id.alias("id"),
-            (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
-                "rank"
-            ),
-            F.col("rank").alias("_old"),
-            ranks["_dang"],
-        )
-        if manifest is not None:
-            new_ranks = manifest.checkpoint(new_ranks, k)
-        else:
-            # lazy local checkpoint: the fused agg below is the action
-            # that computes AND pins the superstep state — one Spark job
-            # per superstep instead of two
-            new_ranks = new_ranks.localCheckpoint(eager=False)
+            if manifest is not None:
+                new_ranks = manifest.checkpoint(new_ranks, k)
+            else:
+                # lazy local checkpoint: the fused agg below is the action
+                # that computes AND pins the superstep state — one Spark job
+                # per superstep instead of two
+                new_ranks = new_ranks.localCheckpoint(eager=False)
 
-        # ONE action: L1 delta + the next superstep's dangling mass
-        agg_row = new_ranks.agg(
-            F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_delta"),
-            F.sum(F.when(F.col("_dang"), F.col("rank")).otherwise(0.0)).alias("_dm"),
-        ).collect()[0]
-        delta = agg_row["_delta"]
-        dmass = (agg_row["_dm"] or 0.0) if n_dangling > 0 else 0.0
-        wall_ms = (time.monotonic() - t0) * 1e3
-        entry = {"k": k, "wall_ms": wall_ms, "delta": delta, "rows": n}
-        local_metrics.append(entry)
-        if manifest is not None:
-            manifest.record_superstep(
-                spark, k, wall_ms=wall_ms, delta=delta, rows=n,
-                extra={"dangling_mass_next": dmass},
-            )
-        # release the superseded superstep state (safe: the new state is
-        # materialized) so long runs don't accumulate pinned blocks
-        if prev_ckpt is not None and manifest is None:
-            prev_ckpt.unpersist()
-        prev_ckpt = new_ranks
-        ranks = new_ranks.select("id", "rank", "_dang")
-        steps = k + 1
-        if delta < tol:
-            converged = True
-            break
+            # ONE action: L1 delta (+ the next superstep's dangling mass when
+            # the graph has dangling vertices)
+            aggs = [F.sum(F.abs(F.col("rank") - F.col("_old"))).alias("_delta")]
+            if n_dangling > 0:
+                aggs.append(
+                    F.sum(F.when(F.col("_dang"), F.col("rank")).otherwise(0.0)).alias("_dm")
+                )
+            agg_row = new_ranks.agg(*aggs).collect()[0]
+            delta = agg_row["_delta"]
+            dmass = (agg_row["_dm"] or 0.0) if n_dangling > 0 else 0.0
+            wall_ms = (time.monotonic() - t0) * 1e3
+            entry = {"k": k, "wall_ms": wall_ms, "delta": delta, "rows": n}
+            local_metrics.append(entry)
+            if manifest is not None:
+                manifest.record_superstep(
+                    spark, k, wall_ms=wall_ms, delta=delta, rows=n,
+                    extra={"dangling_mass_next": dmass},
+                )
+            # release the superseded superstep state (safe: the new state is
+            # materialized) so long runs don't accumulate pinned blocks
+            if prev_ckpt is not None and manifest is None:
+                prev_ckpt.unpersist()
+            prev_ckpt = new_ranks
+            ranks = new_ranks.select(*state_cols)
+            steps = k + 1
+            if delta < tol:
+                converged = True
+                break
+    finally:
+        if disable_aqe:
+            spark.conf.set(aqe_key, aqe_before)
 
     verts.unpersist()
     dangling.unpersist()

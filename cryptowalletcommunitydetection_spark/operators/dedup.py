@@ -47,9 +47,25 @@ def word_tokens(text_col):
     return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), 0)
 
 
-def shingle_hashes_from_words(words_col, n: int = 3):
-    """Word n-gram shingle hashes (xxhash64, seed 42) from a
-    pre-materialized token-array COLUMN.
+def gram_hash(c, hash_mode: str = "xxhash64"):
+    """Long-valued deterministic hash of a string column.
+
+    - "xxhash64" (seed 42): the production path — fastest JVM hash.
+    - "md5_52": first 13 hex chars of md5 as a 52-bit integer. Slower,
+      but bit-for-bit reproducible in DuckDB (hex digits -> powers of 16
+      stay exact in doubles below 2^53), which makes every sketch built
+      on it oracle-checkable at the gate.
+    """
+    if hash_mode == "xxhash64":
+        return F.xxhash64(c, F.lit(42))
+    if hash_mode == "md5_52":
+        return F.conv(F.substring(F.md5(c), 1, 13), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_mode: {hash_mode}")
+
+
+def shingle_hashes_from_words(words_col, n: int = 3, hash_mode: str = "xxhash64"):
+    """Word n-gram shingle hashes from a pre-materialized token-array
+    COLUMN.
 
     ``words_col`` must be a column reference, not a computed expression:
     expressions referenced inside a higher-order-function lambda are
@@ -61,18 +77,22 @@ def shingle_hashes_from_words(words_col, n: int = 3):
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), cnt),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words_col, i, n)), F.lit(42)),
+                lambda i: gram_hash(F.concat_ws(" ", F.slice(words_col, i, n)), hash_mode),
             )
         ),
     ).otherwise(F.array().cast("array<bigint>"))
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """DataFrame[id, h] — one row per distinct shingle hash per doc,
     with the tokenizer staged as a column (see shingle_hashes_from_words)."""
     staged = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
     return staged.select(
-        F.col(id_col), F.explode(shingle_hashes_from_words(F.col("_w"), n)).alias("h")
+        F.col(id_col),
+        F.explode(shingle_hashes_from_words(F.col("_w"), n, hash_mode)).alias("h"),
     )
 
 
@@ -86,14 +106,14 @@ def word_shingles(text_col, n: int = 3):
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_hashes: int = 64, shingle_n: int = 3,
+    num_hashes: int = 64, shingle_n: int = 3, hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """DataFrame[id, sig array<long>] — per-doc MinHash signature.
 
     One explode + one groupBy with ``num_hashes`` algebraic min
     aggregates (map-side combinable → duplicate-heavy corpora don't
     skew)."""
-    sh = _exploded_shingles(df, id_col, text_col, shingle_n)
+    sh = _exploded_shingles(df, id_col, text_col, shingle_n, hash_mode)
     sh = sh.withColumn("h", F.pmod(F.col("h"), F.lit(_MERSENNE)))
     aggs = []
     for i in range(num_hashes):
@@ -155,25 +175,38 @@ def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id",
     bands: int = 16, rows_per_band: int = 4,
     max_bucket: int | None = 1024,
+    band_key: str = "hash",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
     Output: DataFrame[a, b] with a < b, distinct. The self-join is on
-    (band_idx, band_hash); buckets above ``max_bucket`` switch to
+    (band_idx, band_key); buckets above ``max_bucket`` switch to
     representative chaining (see _banded_pairs) so a degenerate bucket of
     k near-identical docs emits k rows instead of k² — pass None for the
-    exhaustive pair enumeration."""
+    exhaustive pair enumeration.
+
+    ``band_key``: "hash" re-hashes each band slice to a compact long
+    (production); "string" joins the raw comma-separated slice values —
+    byte-identical to a SQL twin's VARCHAR key, used by the oracle gate."""
+    if band_key == "hash":
+        bk = lambda i: F.xxhash64(
+            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast("string"),
+            F.lit(7),
+        )
+    elif band_key == "string":
+        bk = lambda i: F.concat_ws(
+            ",",
+            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast(
+                "array<string>"
+            ),
+        )
+    else:
+        raise ValueError(f"unknown band_key: {band_key}")
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band).cast("string"),
-                        F.lit(7),
-                    ).alias("bh"),
-                )
+                F.struct(F.lit(i).alias("band"), bk(i).alias("bh"))
                 for i in range(bands)
             ])
         ).alias("bb"),
@@ -260,12 +293,14 @@ def verify_exact_jaccard(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: sign of per-bit vote sums over token hashes.
+    """SimHash: sign of per-bit vote sums over token hashes.
 
-    Output: DataFrame[id, simhash long]. Explode + 64 algebraic sums —
-    map-side combinable."""
+    Output: DataFrame[id, simhash long]. Explode + ``bits`` algebraic
+    sums — map-side combinable. Pass hash_mode="md5_52" with bits=52 for
+    the DuckDB-reproducible oracle variant."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -273,7 +308,7 @@ def simhash(
                 F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
             )
         ).alias("w"),
-    ).withColumn("h", F.xxhash64("w", F.lit(42)))
+    ).withColumn("h", gram_hash(F.col("w"), hash_mode))
     votes = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -293,7 +328,7 @@ def simhash(
 
 def simhash_near_dups(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
-    chunks: int = 4, max_bucket: int | None = None,
+    chunks: int = 4, max_bucket: int | None = None, bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via the
     pigeonhole band join: split the 64-bit signature into ``chunks``
@@ -306,7 +341,7 @@ def simhash_near_dups(
     the duplicate-group closure under connected components is preserved
     for identical-signature members (hamming 0 to the representative),
     which is exactly the mass-duplication case the cap exists for."""
-    width = 64 // chunks
+    width = bits // chunks
     mask = (1 << width) - 1
     banded = sims.select(
         F.col(id_col).alias("_id"),
