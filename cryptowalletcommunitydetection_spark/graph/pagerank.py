@@ -82,10 +82,16 @@ def pagerank(
       that reference it, scatter join co-partitioned on the block id,
       gather groupBy(bj, dst) block-local (no exchange; per-task agg
       maps bounded by |V|/partitions). Per-superstep shuffle is
-      O(|V|·replication), never the edge table — wins only when
-      replication ≪ average degree (power-law/hub-heavy graphs on many
-      partitions); on uniform graphs replication ≈ min(degree, blocks)
-      and it loses, hence not the auto default.
+      O(|V|·replication) routed ranks — never the (partially
+      aggregated) message stream. MEASURED (BENCH/BASELINE.md): loses
+      to copartition in local mode on both uniform (4.7M vs 17.0M
+      edge-traversals/s/superstep) and hub-skewed graphs (8.1M vs
+      21.5M with a 1.66M-degree hub) — map-side partial aggregation
+      already absorbs hub skew for the algebraic gather, and local-mode
+      shuffles move through shared memory, so what blocked saves is
+      nearly free here. Kept for genuinely network-bound clusters where
+      shuffling routed ranks instead of the message stream is the
+      difference; never chosen by "auto".
     - "auto": broadcast while |V| ≤ 2M, else copartition.
     """
     has_w = weighted and "weight" in edges.columns
