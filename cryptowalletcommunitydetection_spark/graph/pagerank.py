@@ -113,7 +113,9 @@ def pagerank(
     verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     if n == 0:
-        return PageRankResult(verts.select("id", F.lit(0.0).alias("rank")), 0, True)
+        empty = verts.select("id", F.lit(0.0).alias("rank"))
+        verts.unpersist()
+        return PageRankResult(empty, 0, True)
 
     np = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if strategy == "auto":
@@ -207,6 +209,9 @@ def pagerank(
                 if s["k"] == last and s.get("delta") is not None and s["delta"] < tol
             ]
             if done:
+                for cached in (verts, dangling, norm_edges, rt):
+                    if cached is not None:
+                        cached.unpersist()
                 return PageRankResult(
                     ranks.select("id", "rank"), last + 1, True, manifest.metrics()
                 )

@@ -174,16 +174,18 @@ def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id",
     bands: int = 16, rows_per_band: int = 4,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None = None,
     band_key: str = "hash",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
     Output: DataFrame[a, b] with a < b, distinct. The self-join is on
-    (band_idx, band_key); buckets above ``max_bucket`` switch to
-    representative chaining (see _banded_pairs) so a degenerate bucket of
-    k near-identical docs emits k rows instead of k² — pass None for the
-    exhaustive pair enumeration.
+    (band_idx, band_key). The default enumerates every in-bucket pair
+    (the contract the verify pipeline and oracles assume); set
+    ``max_bucket`` on mass-duplicated corpora to switch oversized
+    buckets to representative chaining (see _banded_pairs) — k rows
+    instead of k² per degenerate bucket, same closure under connected
+    components.
 
     ``band_key``: "hash" re-hashes each band slice to a compact long
     (production); "string" joins the raw comma-separated slice values —

@@ -56,12 +56,20 @@ def native_transfer_filter(
 
 
 def recency_filter(
-    df: DataFrame, key: str, ts: str, cutoff: int
+    df: DataFrame, key: str, ts: str, cutoff
 ) -> DataFrame:
     """P7 — keep keys whose latest event is at/after cutoff
-    (jobs/lending_wallets_job.py:68-78: 30-day recency on change-logs)."""
+    (jobs/lending_wallets_job.py:68-78: 30-day recency on change-logs).
+
+    ``cutoff`` may be an epoch int for numeric ``ts`` columns or a
+    datetime string for timestamp columns — the literal is cast
+    explicitly to the ``ts`` column's type so the comparison never
+    relies on implicit coercion (ANSI-safe)."""
+    ts_type = df.schema[ts].dataType
     latest = df.groupBy(key).agg(F.max(ts).alias("_latest"))
-    keep = latest.filter(F.col("_latest") >= F.lit(cutoff)).select(key)
+    keep = latest.filter(
+        F.col("_latest") >= F.lit(cutoff).cast(ts_type)
+    ).select(key)
     return df.join(keep, key, "left_semi")
 
 

@@ -127,7 +127,10 @@ def lsh_topk(
     *query* side — the small side, but still one extra Spark job.
     """
     if dim is None:
-        dim = len(queries.select(query_vec_col).first()[0])
+        row = queries.select(query_vec_col).first()
+        # empty query batch: any hyperplane dim yields the correct empty
+        # result (the probe explode has no input rows)
+        dim = len(row[0]) if row is not None else 1
     hp = _hyperplanes(dim, planes, seed)
     v = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v"),
