@@ -242,6 +242,27 @@ def pagerank(
     )
     if disable_aqe:
         spark.conf.set(aqe_key, "false")
+    # In broadcast mode only the gather output / rank-state shuffles use
+    # spark.sql.shuffle.partitions (the scatter join is map-side over the
+    # persisted edge partitioning). For SMALL rank tables (<= 500k rows —
+    # the coordination-bound regime) right-size those shuffles to ~100k
+    # rows per partition, floor 8, instead of the session default:
+    # measured 39.9s -> 30.3s at sf0.1 (|V|=16k, session default 32).
+    # Larger graphs keep the session setting (shrinking below the core
+    # count would idle executors during the rank-state stages), and
+    # copartition/blocked always keep it: their shuffle count must match
+    # the persisted edge partitioning or joins re-exchange.
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_before = spark.conf.get(sp_key)
+    resize_sp = False
+    if strategy == "broadcast" and n <= 500_000:
+        try:
+            rank_parts = max(8, min(int(sp_before), (n + 99_999) // 100_000))
+            resize_sp = rank_parts != int(sp_before)
+        except ValueError:  # non-numeric (e.g. "auto") — leave untouched
+            resize_sp = False
+    if resize_sp:
+        spark.conf.set(sp_key, str(rank_parts))
     try:
         for k in range(start_k, max_iter):
             t0 = time.monotonic()
@@ -334,6 +355,8 @@ def pagerank(
     finally:
         if disable_aqe:
             spark.conf.set(aqe_key, aqe_before)
+        if resize_sp:
+            spark.conf.set(sp_key, sp_before)
 
     verts.unpersist()
     dangling.unpersist()
