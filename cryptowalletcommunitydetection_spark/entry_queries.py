@@ -923,18 +923,36 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary media column -> Arrow mapInPandas
-    feature extraction (deterministic fake kernel; real codecs stubbed)."""
-    from .operators.multimodal import extract_features
+    """Multimodal REAL-decode path: each doc's text becomes a 16x16 RGB8
+    image payload (magic + <HH> dims header + 768 ascii-pixel bytes,
+    built JVM-side), the Arrow kernel actually decodes it (pure numpy,
+    operators/multimodal.py::decode_rawrgb) and extracts dims/channel
+    means/min/max — which the DuckDB oracle recomputes exactly from the
+    same padded text (integer sums below 2^53 are exact doubles, so no
+    rounding is needed). Compressed codecs remain stubbed; this gate
+    proves the decode->feature plumbing with real bytes."""
+    from .operators.multimodal import RAWRGB_MAGIC, extract_features
+    import struct as _struct
 
+    header = RAWRGB_MAGIC + _struct.pack("<HH", 16, 16)
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").cast("string").alias("asset_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("bytes"),
+        F.concat(
+            F.lit(bytearray(header)),
+            F.encode(F.rpad(F.substring("text", 1, 768), 768, " "), "utf-8"),
+        ).alias("bytes"),
     )
-    feats = extract_features(media, dim=8)
-    return feats.select("asset_id", "n_bytes", F.size("feature").alias("dim"))
+    feats = extract_features(media, feature_dtype="double")
+    f = F.col("feature")
+    return feats.select(
+        "asset_id", "n_bytes",
+        f.getItem(0).alias("width"), f.getItem(1).alias("height"),
+        f.getItem(2).alias("r_mean"), f.getItem(3).alias("g_mean"),
+        f.getItem(4).alias("b_mean"), f.getItem(5).alias("gray_mean"),
+        f.getItem(6).alias("px_min"), f.getItem(7).alias("px_max"),
+    )
 
 def q_minhash_candidates(spark, sf_dir):
     """Banded MinHash-LSH candidate pairs, md5_52 hash mode with raw
@@ -1541,8 +1559,24 @@ SELECT 'brute_minus_banded' AS prop, 0::BIGINT AS n
 UNION ALL SELECT 'banded_minus_brute', 0::BIGINT
 """,
     "multimodal_features": """
-SELECT doc_id::VARCHAR AS asset_id, octet_length(encode(text)) AS n_bytes, 8 AS dim
-FROM documents
+WITH p AS (SELECT doc_id, rpad(substr(text, 1, 768), 768, ' ') AS s FROM documents),
+c AS (SELECT doc_id,
+             list_transform(range(1, 769), i -> ascii(substr(s, i, 1))) AS px
+      FROM p),
+ch AS (SELECT doc_id, px,
+              list_transform(range(0, 256), j -> px[3*j + 1]) AS r,
+              list_transform(range(0, 256), j -> px[3*j + 2]) AS g,
+              list_transform(range(0, 256), j -> px[3*j + 3]) AS b
+       FROM c)
+SELECT doc_id::VARCHAR AS asset_id, 776::BIGINT AS n_bytes,
+       16.0 AS width, 16.0 AS height,
+       list_sum(r) / 256.0 / 255.0 AS r_mean,
+       list_sum(g) / 256.0 / 255.0 AS g_mean,
+       list_sum(b) / 256.0 / 255.0 AS b_mean,
+       list_sum(px) / 768.0 / 255.0 AS gray_mean,
+       list_aggregate(px, 'min') / 255.0 AS px_min,
+       list_aggregate(px, 'max') / 255.0 AS px_max
+FROM ch
 """,
     "winnow_fingerprints": """
 WITH g AS (
