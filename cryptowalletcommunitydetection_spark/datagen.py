@@ -77,6 +77,53 @@ def gen_files(spark: SparkSession, **kw) -> DataFrame:
     return spark.createDataFrame(gen_files_pdf(**kw), schema=FILES_SCHEMA)
 
 
+def gen_files_distributed(
+    spark: SparkSession,
+    n_files: int,
+    n_repos: int = 1000,
+    n_entities: int = 50_000,
+    entities_per_file: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Files table generated DISTRIBUTIVELY (spark.range + xxhash64 —
+    no driver materialization), for benching the extraction pipeline at
+    scales where the pandas generator would OOM the driver. Entity
+    choice per file is a deterministic hash of (file id, slot), so the
+    expected edges are recomputable from the content strings alone
+    (tests/oracles.py::expected_cooccurrence — same contract as
+    gen_files)."""
+    from pyspark.sql import functions as F
+
+    f = spark.range(n_files)
+    repo = F.concat(
+        F.lit("repo_"),
+        F.lpad(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_repos)).cast("string"), 6, "0"),
+    )
+    ents = F.transform(
+        F.sequence(F.lit(0), F.lit(entities_per_file - 1)),
+        lambda j: F.concat(
+            F.lit("import ent_"),
+            F.lpad(
+                F.pmod(F.xxhash64("id", j + seed + 1), F.lit(n_entities)).cast("string"),
+                6, "0",
+            ),
+        ),
+    )
+    content = F.concat(
+        F.concat_ws("\n", F.array_distinct(ents)),
+        F.lit("\ndef f():\n    return "),
+        F.col("id").cast("string"),
+        F.lit("\n"),
+    )
+    return f.select(
+        repo.alias("repo"),
+        F.concat(F.lit("src/file_"), F.col("id").cast("string"), F.lit(".py")).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("py").alias("lang"),
+        content.alias("content"),
+    )
+
+
 # ---------------------------------------------------------------- graphs
 
 def ring(n: int) -> list[tuple[int, int]]:

@@ -84,3 +84,20 @@ def test_encode_vertices_no_collisions_and_joinable(spark):
         .count()
     )
     assert back == edges.select("src").distinct().count()
+
+
+def test_distributed_files_generator_matches_oracle(spark):
+    """gen_files_distributed (JVM string synthesis) + the real extraction
+    pipeline == the pure-Python oracle recomputed from collected content."""
+    from cryptowalletcommunitydetection_spark.datagen import gen_files_distributed
+    from cryptowalletcommunitydetection_spark.graph.edges import derive_edges
+    from tests.oracles import expected_cooccurrence
+
+    files = gen_files_distributed(
+        spark, n_files=300, n_repos=25, n_entities=200, entities_per_file=4
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"] for r in derive_edges(files).collect()
+    }
+    want = expected_cooccurrence(files.toPandas())
+    assert got == want and len(got) > 100
