@@ -138,6 +138,13 @@ def carry_forward_sum(
     series, carry each series' last value forward, sum across series.
 
     Output: DataFrame[ts, combined] over the union timestamp grid.
+
+    Scale note: the dense grid is |series| x |union timestamps| rows —
+    correct for the reference's use (a handful of change-log series per
+    wallet), quadratic-ish if abused with many thousands of series over
+    fine-grained timestamps. In that regime, bucket timestamps first
+    (``bucket_timestamps``) or window per-series with an as-of join
+    instead of densifying.
     """
     grid = df.select(ts).distinct()
     keys = df.select(series).distinct()
