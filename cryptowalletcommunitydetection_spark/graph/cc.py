@@ -85,6 +85,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     run_dir: str | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """DataFrame[id, component] with component = min member id.
 
@@ -103,8 +104,16 @@ def connected_components(
 
     manifest = None
     start_k = 0
+    input_sketch = None
     if run_dir is not None:
-        manifest = RunManifest.open_or_create(run_dir, "cc", {})
+        # the manifest keys on the INPUT identity too — resuming a run_dir
+        # against a different edge table must start fresh, not serve the
+        # previous input's converged stars
+        input_sketch = _edge_sketch(e)
+        manifest = RunManifest.open_or_create(
+            run_dir, "cc",
+            {"input_rows": input_sketch[0], "input_hash": input_sketch[1]},
+        )
         last = manifest.last_complete()
         if last >= 0:
             e = manifest.load_state(spark, last)
@@ -114,8 +123,9 @@ def connected_components(
                 return _labels_from_stars(spark, e, edges, vertices)
 
     prev = e.localCheckpoint(eager=True) if manifest is None else e
-    prev_sketch = _edge_sketch(prev)
+    prev_sketch = input_sketch if start_k == 0 and input_sketch else _edge_sketch(prev)
 
+    delta = None
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
         stepped = _small_star(_large_star(prev))
@@ -148,6 +158,17 @@ def connected_components(
         if delta == 0:
             break
 
+    if delta != 0 and strict:
+        # the star set did not reach its fixpoint — labels derived from
+        # it could be duplicated/inconsistent; never return them
+        # silently. strict=False opts into the best-effort labels (e.g.
+        # a deliberately capped partial run that will be resumed later
+        # via run_dir).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter "
+            f"({max_iter}); raise max_iter (resume supported via run_dir) "
+            f"or pass strict=False for best-effort labels"
+        )
     return _labels_from_stars(spark, prev, edges, vertices)
 
 

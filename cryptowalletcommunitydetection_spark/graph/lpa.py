@@ -45,9 +45,16 @@ def label_propagation(
     """DataFrame[id, label] after synchronous min-tie-break LPA."""
     has_w = weighted and "weight" in edges.columns
     if directed:
-        e = edges
-        if not has_w:
-            e = e.select("src", "dst", F.lit(1).alias("weight"))
+        # same hygiene as the undirected path: self-loops never vote for
+        # their own label, duplicate rows collapse (weights summed when
+        # weighted, a single unit vote otherwise)
+        e = edges.filter(F.col("src") != F.col("dst"))
+        if has_w:
+            e = e.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+        else:
+            e = e.select("src", "dst").distinct().select(
+                "src", "dst", F.lit(1).alias("weight")
+            )
     else:
         # nx.Graph semantics: duplicate rows / orientations collapse
         canon = canonicalize_edges(edges, weight="weight" if has_w else None)
@@ -63,6 +70,12 @@ def label_propagation(
     start_k = 0
     params = {"weighted": has_w, "directed": directed}
     if run_dir is not None:
+        # key the manifest on the input identity so a different edge
+        # table in the same run_dir starts fresh instead of resuming
+        sk = e.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
+        ).collect()[0]
+        params = {**params, "input_rows": sk["n"], "input_hash": sk["h"]}
         manifest = RunManifest.open_or_create(run_dir, "lpa", params)
         last = manifest.last_complete()
         if last >= 0:
@@ -75,7 +88,8 @@ def label_propagation(
     converged = False
     steps = start_k
     local_metrics: list[dict] = []
-    prev_ckpt = None
+    # seed with the initial pinned state so round 0 releases it
+    prev_ckpt = labels if manifest is None else None
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
         nbr = e.join(labels, e.src == labels.id).select(
@@ -99,13 +113,18 @@ def label_propagation(
             new_labels = manifest.checkpoint(new_labels, k)
         else:
             new_labels = new_labels.localCheckpoint(eager=False)
-        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        # one action: changed-count and row-count fused
+        agg_row = new_labels.agg(
+            F.sum((F.col("label") != F.col("_old")).cast("long")).alias("_chg"),
+            F.count(F.lit(1)).alias("_n"),
+        ).collect()[0]
+        changed = int(agg_row["_chg"] or 0)
         wall_ms = (time.monotonic() - t0) * 1e3
         entry = {"k": k, "wall_ms": wall_ms, "delta": changed}
         local_metrics.append(entry)
         if manifest is not None:
             manifest.record_superstep(
-                spark, k, wall_ms=wall_ms, delta=changed, rows=new_labels.count()
+                spark, k, wall_ms=wall_ms, delta=changed, rows=agg_row["_n"]
             )
         if prev_ckpt is not None and manifest is None:
             prev_ckpt.unpersist()

@@ -191,6 +191,12 @@ def pagerank(
         "weighted": has_w, "directed": directed, "n": n,
     }
     if run_dir is not None:
+        # key the manifest on the input identity (structural edge hash)
+        # so a different edge table in the same run_dir starts fresh
+        sk = norm_edges.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
+        ).collect()[0]
+        params = {**params, "input_rows": sk["n"], "input_hash": sk["h"]}
         manifest = RunManifest.open_or_create(run_dir, "pagerank", params)
         last = manifest.last_complete()
         if last >= 0:

@@ -49,7 +49,17 @@ def bipartite_group_rollup(
         F.col(from_col).alias("from_address"), F.col(to_col).alias("to_address")
     )
     edges = canonicalize_edges(pairs, "from_address", "to_address")
-    cc = connected_components(spark, edges, run_dir=run_dir)
+    # every pair endpoint is a community member even when its only pair
+    # is a self-transfer (canonicalize drops self-loops, so such wallets
+    # would otherwise vanish; the reference's nx.Graph keeps them as
+    # singleton groups)
+    verts = (
+        pairs.select(F.col("from_address").alias("id"))
+        .unionByName(pairs.select(F.col("to_address").alias("id")))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
+    cc = connected_components(spark, edges, vertices=verts, run_dir=run_dir)
 
     senders = pairs.select(F.col("from_address").alias("id")).distinct()
     users = cc.join(senders, "id", "left_semi").withColumn("is_user", F.lit(True))

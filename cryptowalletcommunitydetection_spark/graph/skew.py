@@ -60,7 +60,16 @@ def salted_join(
     ``salt_from``: a big-side column whose hash spreads the hub's rows
     (e.g. the opposite endpoint of an edge); defaults to all non-key
     columns.
+
+    ``how`` is restricted to the big-side-preserving joins: a right or
+    full outer join would emit ``nsalt`` null-extended copies of every
+    unmatched small-side row (it was replicated once per salt).
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got how={how!r} "
+            "(right/full outer would replicate unmatched small-side rows nsalt times)"
+        )
     salt_cols = [salt_from] if salt_from else [c for c in big.columns if c != key]
     b = big.withColumn("_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(nsalt)))
     s = small.withColumn(

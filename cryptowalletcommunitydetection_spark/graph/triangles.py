@@ -56,11 +56,9 @@ def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """DataFrame[id, triangles] — per-vertex triangle participation
     (nx.triangles semantics; vertices in no triangle get 0)."""
     tri = _closed_wedges(edges)
-    corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionByName(tri.select(F.col("b").alias("id")))
-        .unionByName(tri.select(F.col("c").alias("id")))
-    )
+    # one reference to the wedge pipeline (a 3-way unionByName would
+    # re-plan/recompute it three times)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
     return (
         vertices_of(edges)

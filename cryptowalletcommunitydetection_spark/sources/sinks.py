@@ -19,10 +19,24 @@ def write_groups(groups: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def quarantine_sink(
-    joined: DataFrame, null_col: str, quarantine_path: str
+    joined: DataFrame, null_col: str, quarantine_path: str, mode: str = "overwrite"
 ) -> DataFrame:
     """Split a left-join result: rows with ``null_col`` IS NULL are
-    appended to the quarantine table; the matched rows are returned."""
+    written to the quarantine table; the matched rows are returned.
+
+    ``joined`` is persisted across the two branches so the quarantined
+    and returned sets come from ONE evaluation of the plan (a mutating
+    upstream source can't put a row in both or neither).
+
+    Replay semantics: the default ``mode="overwrite"`` is idempotent for
+    a fixed path. When quarantining per window, point each window at its
+    own path (``.../window=<lo>``) — the same convention the incremental
+    runner uses for its sinks; ``mode="append"`` onto one shared path
+    double-counts on replay."""
+    joined = joined.persist()
     missing = joined.filter(F.col(null_col).isNull())
-    missing.write.mode("append").parquet(quarantine_path)
+    missing.write.mode(mode).parquet(quarantine_path)
+    # the returned branch reads the persisted parent (evicted by Spark's
+    # LRU after the caller consumes it), so both branches observe the
+    # same snapshot
     return joined.filter(F.col(null_col).isNotNull())

@@ -39,7 +39,18 @@ class IncrementalRunner:
         self.period = period
         if os.path.exists(self.cursor_path):
             with open(self.cursor_path) as f:
-                self.cursor = json.load(f)["last_synced"]
+                stored = json.load(f)
+            # window idempotence (per-window sink paths overwrite on
+            # replay) only holds if window boundaries never move: a
+            # resume with a different period would misalign every
+            # subsequent window, so it is an error, not a silent retune
+            if stored.get("period") != period:
+                raise ValueError(
+                    f"cursor at {self.cursor_path} was written with "
+                    f"period={stored.get('period')}; refusing to resume "
+                    f"with period={period} (window boundaries would shift)"
+                )
+            self.cursor = stored["last_synced"]
         else:
             self.cursor = start
             self._persist()

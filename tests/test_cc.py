@@ -56,3 +56,16 @@ def test_cc_isolated_vertices(spark):
 def test_cc_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(spark, edges).count() == 0
+
+
+def test_cc_nonconvergence_raises_unless_opted_out(spark):
+    """A capped run must not silently return labels from a non-fixpoint
+    star set (they can be duplicated/inconsistent)."""
+    import pytest
+
+    pairs = datagen.erdos_renyi(60, 0.05, seed=3)
+    edges = datagen.edges_df(spark, pairs)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(spark, edges, max_iter=1)
+    # opt-out returns best-effort labels without raising
+    assert connected_components(spark, edges, max_iter=1, strict=False).count() > 0

@@ -57,3 +57,20 @@ def test_rollup_salted_equals_plain(spark):
                            "num_user", "num_depo").collect()
     )
     assert key(plain) == key(salted)
+
+
+def test_rollup_self_pair_singleton(spark):
+    """A wallet whose ONLY pair is a self-transfer still appears as a
+    singleton community (canonicalize drops the self-loop edge, but the
+    vertex set keeps the endpoint — nx.Graph/reference semantics)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [
+            ("a", "a"),          # self-pair only -> singleton community, user
+            ("u1", "d1"),        # normal pair
+            ("u1", "u1"),        # self-pair on a connected wallet: no-op
+        ],
+        columns=["from_address", "to_address"],
+    )
+    _check(spark, pdf)
