@@ -813,9 +813,9 @@ def q_ttl_prune(spark, sf_dir):
 
 
 def q_pagerank_resume(spark, sf_dir):
-    """S10/G10 at the gate: a run checkpointed at superstep 6 resumes
-    from its manifest and continues to 12 — the resumed result must be
-    bit-identical to the straight 12-iteration oracle (checkpoint state
+    """S10/G10 at the gate: a run checkpointed at superstep 3 resumes
+    from its manifest and continues to 6 — the resumed result must be
+    bit-identical to the straight 6-iteration oracle (checkpoint state
     round-trips through Parquet doubles exactly)."""
     import shutil
     import tempfile
@@ -823,9 +823,9 @@ def q_pagerank_resume(spark, sf_dir):
     edges = _cooccur_edges(spark, sf_dir)
     run_dir = tempfile.mkdtemp(prefix="pr_resume_gate_")
     try:
-        pagerank(spark, edges, tol=0.0, max_iter=6, weighted=False, run_dir=run_dir)
+        pagerank(spark, edges, tol=0.0, max_iter=3, weighted=False, run_dir=run_dir)
         res = pagerank(
-            spark, edges, tol=0.0, max_iter=12, weighted=False, run_dir=run_dir
+            spark, edges, tol=0.0, max_iter=6, weighted=False, run_dir=run_dir
         )
         out = res.ranks.select("id", F.round("rank", 9).alias("rank"))
         # materialize before the checkpoint dir disappears
@@ -889,7 +889,9 @@ def q_simhash_near_dups(spark, sf_dir):
     every expression except the token hash; its completeness is gated by
     simhash_complete)."""
     sims = dd.simhash(_t(spark, sf_dir, "documents"), bits=52, hash_mode="md5_52")
-    return dd.simhash_near_dups(sims, max_hamming=3, bits=52)
+    # max_bucket=None: the oracle is the brute-force enumeration, which
+    # the banded join only equals when every in-bucket pair is emitted
+    return dd.simhash_near_dups(sims, max_hamming=3, bits=52, max_bucket=None)
 
 
 def q_minhash_verified(spark, sf_dir):
@@ -900,7 +902,9 @@ def q_minhash_verified(spark, sf_dir):
     rows; a recall shortfall or a verification bug both break the gate)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs)
-    cands = dd.minhash_lsh_candidates(sigs)
+    # max_bucket=None: the 100%-recall equivalence with the full exact
+    # enumeration requires exhaustive in-bucket pairs
+    cands = dd.minhash_lsh_candidates(sigs, max_bucket=None)
     return dd.verify_exact_jaccard(docs, cands, threshold=0.5)
 
 
@@ -961,7 +965,8 @@ def q_minhash_candidates(spark, sf_dir):
     oracle-checked (not just its verified subset)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs, hash_mode="md5_52")
-    return dd.minhash_lsh_candidates(sigs, band_key="string")
+    # max_bucket=None: the SQL twin enumerates every in-bucket pair
+    return dd.minhash_lsh_candidates(sigs, band_key="string", max_bucket=None)
 
 
 def q_simhash_sigs(spark, sf_dir):
@@ -977,7 +982,7 @@ def q_simhash_complete(spark, sf_dir):
     (symmetric difference empty on both sides). The oracle pins both
     counts to 0 — a missed or spurious pair breaks the gate."""
     sims = dd.simhash(_t(spark, sf_dir, "documents")).cache()
-    banded = dd.simhash_near_dups(sims, max_hamming=3).select("a", "b")
+    banded = dd.simhash_near_dups(sims, max_hamming=3, max_bucket=None).select("a", "b")
     sa = sims.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
     sb = sims.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))
     brute = (
@@ -1629,7 +1634,7 @@ b AS (SELECT *, (ts // 86400) * 86400 AS bucket FROM pre),
 r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket ORDER BY ts DESC) AS rn FROM b)
 SELECT event_type, bucket, ts, v FROM r WHERE rn = 1 AND ts >= 1704931200
 """,
-    "pagerank_resume": _pagerank_sql(12),
+    "pagerank_resume": _pagerank_sql(6),
     "incremental_cursor": """
 SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """,

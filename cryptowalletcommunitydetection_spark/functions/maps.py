@@ -48,14 +48,45 @@ def map_null_filter(col) -> Column:
     return F.map_filter(_c(col), lambda k, v: v.isNotNull())
 
 
-def cast_map_keys_long(col) -> Column:
+def cast_map_keys_long(col, lenient: bool = False) -> Column:
     """F13 — string keys -> int64 (``{int(t): v for t, v in d.items()}``).
 
-    ANSI note: a non-numeric key raises (same as the reference's
-    ``int(t)``); pre-filter with ``map_filter`` if lenient parsing is
-    wanted.
+    ANSI notes (default strict mode, matching the reference's ``int(t)``):
+
+    - a non-numeric key raises,
+    - keys that COLLIDE after the cast (``"1"`` and ``"01"``, ``"1"`` and
+      ``" 1"``) raise at runtime under the default
+      ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` — ``transform_keys`` can
+      otherwise silently produce a duplicate-key map.
+
+    ``lenient=True`` pre-normalizes through the entry array instead:
+    non-numeric keys are dropped (``try_cast`` null) and collided keys
+    keep the LAST entry's value (Python-dict comprehension semantics,
+    where later ``int(t)`` wins).
     """
-    return F.transform_keys(_c(col), lambda k, v: k.cast("long"))
+    c = _c(col)
+    if not lenient:
+        return F.transform_keys(c, lambda k, v: k.cast("long"))
+    ents = F.filter(
+        F.transform(
+            F.map_entries(c),
+            lambda e: F.struct(
+                e["key"].try_cast("long").alias("key"), e["value"].alias("value")
+            ),
+        ),
+        lambda e: e["key"].isNotNull(),
+    )
+    # dedup by key keeping the last occurrence: walk the reversed entry
+    # array, appending only first-seen keys (accumulator seeded with an
+    # empty slice so its type matches without a cast)
+    dedup = F.aggregate(
+        F.reverse(ents),
+        F.slice(ents, 1, 0),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda x: x["key"] == e["key"]), acc
+        ).otherwise(F.array_append(acc, e)),
+    )
+    return F.map_from_entries(dedup)
 
 
 def cast_map_keys_string(col) -> Column:

@@ -66,6 +66,7 @@ def asof_join(
     by: str | list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    strict: bool = False,
 ) -> DataFrame:
     """J6 — as-of join: attach to each left row the right row with the
     greatest ``on`` <= left's ``on`` (backward; ties include equal
@@ -82,10 +83,29 @@ def asof_join(
     driver loops, and it distributes: each ``by`` partition is
     independent.
 
-    ``right`` should be unique per (by, on); duplicate timestamps would
-    make "the" as-of row ambiguous (pre-aggregate to enforce).
+    ``right`` must be unique per (by, on); duplicate timestamps would
+    make "the" as-of row ambiguous (pre-aggregate to enforce). The
+    default trusts the caller's contract (no extra action on the hot
+    path); ``strict=True`` spends one existence-probe job to verify and
+    raises ``ValueError`` on ambiguity instead of silently picking the
+    union-order winner.
     """
     by = [by] if isinstance(by, str) else list(by or [])
+    if strict:
+        dup = (
+            right.groupBy(*by, on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "asof_join: right side has duplicate rows per "
+                f"({', '.join(by) or 'global'}, {on}) — the as-of row is "
+                "ambiguous; pre-aggregate the right side (e.g. "
+                "groupBy(by, on).agg(last/max)) or pass strict=False"
+            )
     rcols = [c for c in right.columns if c != on and c not in by]
     lcols = [c for c in left.columns if c != on and c not in by]
 

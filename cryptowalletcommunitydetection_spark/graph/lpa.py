@@ -71,9 +71,14 @@ def label_propagation(
     params = {"weighted": has_w, "directed": directed}
     if run_dir is not None:
         # key the manifest on the input identity so a different edge
-        # table in the same run_dir starts fresh instead of resuming
+        # table in the same run_dir starts fresh instead of resuming.
+        # ``e`` always carries a weight column (lit(1) when unweighted)
+        # and is deduplicated by construction above, so hashing
+        # (src, dst, weight) covers weighted-vote changes and cannot
+        # suffer pairwise XOR cancellation of duplicate rows.
         sk = e.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst", "weight")).alias("h"),
         ).collect()[0]
         params = {**params, "input_rows": sk["n"], "input_hash": sk["h"]}
         manifest = RunManifest.open_or_create(run_dir, "lpa", params)

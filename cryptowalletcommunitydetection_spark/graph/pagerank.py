@@ -191,11 +191,22 @@ def pagerank(
         "weighted": has_w, "directed": directed, "n": n,
     }
     if run_dir is not None:
-        # key the manifest on the input identity (structural edge hash)
-        # so a different edge table in the same run_dir starts fresh
-        sk = norm_edges.agg(
-            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
-        ).collect()[0]
+        # key the manifest on the input identity so a different edge table
+        # in the same run_dir starts fresh. The hash must cover the
+        # weight-bearing column (p) — same topology with changed weights is
+        # a DIFFERENT input — and must be multiplicity-safe: XOR over raw
+        # rows cancels duplicate rows pairwise (possible on the directed
+        # path, which does not dedup), so hash the distinct (src, dst, p)
+        # set together with each row's multiplicity.
+        sk = (
+            norm_edges.groupBy("src", "dst", "p")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .agg(
+                F.sum("_m").alias("n"),
+                F.bit_xor(F.xxhash64("src", "dst", "p", "_m")).alias("h"),
+            )
+            .collect()[0]
+        )
         params = {**params, "input_rows": sk["n"], "input_hash": sk["h"]}
         manifest = RunManifest.open_or_create(run_dir, "pagerank", params)
         last = manifest.last_complete()

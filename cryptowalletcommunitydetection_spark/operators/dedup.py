@@ -174,18 +174,20 @@ def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
 def minhash_lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id",
     bands: int = 16, rows_per_band: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
     band_key: str = "hash",
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
 
     Output: DataFrame[a, b] with a < b, distinct. The self-join is on
-    (band_idx, band_key). The default enumerates every in-bucket pair
-    (the contract the verify pipeline and oracles assume); set
-    ``max_bucket`` on mass-duplicated corpora to switch oversized
-    buckets to representative chaining (see _banded_pairs) — k rows
-    instead of k² per degenerate bucket, same closure under connected
-    components.
+    (band_idx, band_key). ``max_bucket`` defaults ON (1000): buckets
+    above it switch to representative chaining (see _banded_pairs) — k
+    rows instead of k² per degenerate bucket, same duplicate-group
+    closure under connected components — so a naive caller at 100 TB
+    never hits the quadratic path on a mass-duplicated corpus. Pass
+    ``max_bucket=None`` to enumerate every in-bucket pair exhaustively
+    (the contract the oracle gate queries and the verify pipeline's
+    100%-recall equivalence assume).
 
     ``band_key``: "hash" re-hashes each band slice to a compact long
     (production); "string" joins the raw comma-separated slice values —
@@ -228,18 +230,19 @@ def estimate_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
 def exact_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     shingle_n: int = 3, threshold: float = 0.0,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for ALL intersecting pairs via inverted-index
     self-join: explode shingles, join on shingle, count common, divide by
     union size. SQL-expressible — this is the oracle for the sketches.
 
-    ``max_df`` is the stop-shingle cut for at-scale use: a shingle
+    ``max_df`` is the stop-shingle cut, ON by default (1000): a shingle
     appearing in d documents emits d² join rows, so shingles with
     document frequency > max_df are dropped from BOTH the inverted index
     and the per-doc sizes (Jaccard over the effective vocabulary — the
-    same guard shape as graph/edges.py max_entities_per_group). Default
-    None keeps the exact oracle semantics."""
+    same guard shape as graph/edges.py max_entities_per_group). Pass
+    ``max_df=None`` for the exact full-vocabulary oracle semantics (the
+    gate queries do so explicitly)."""
     sh = _exploded_shingles(df, id_col, text_col, shingle_n)
     if max_df is not None:
         keep = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).filter(
@@ -330,19 +333,22 @@ def simhash(
 
 def simhash_near_dups(
     sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
-    chunks: int = 4, max_bucket: int | None = None, bits: int = 64,
+    chunks: int = 4, max_bucket: int | None = 1000, bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via the
     pigeonhole band join: split the 64-bit signature into ``chunks``
     16-bit pieces; any pair within distance < chunks shares a piece.
 
-    ``max_bucket`` (opt-in) applies representative chaining to oversized
-    piece buckets (see _banded_pairs): mass-duplicate corpora emit k rows
-    per bucket instead of k². With the cap, pair enumeration is no longer
-    exhaustive for *near* (non-identical) duplicates in a capped bucket —
-    the duplicate-group closure under connected components is preserved
-    for identical-signature members (hamming 0 to the representative),
-    which is exactly the mass-duplication case the cap exists for."""
+    ``max_bucket`` defaults ON (1000): oversized piece buckets switch to
+    representative chaining (see _banded_pairs) — mass-duplicate corpora
+    emit k rows per bucket instead of k², so the default path is safe at
+    100 TB. With the cap, pair enumeration is no longer exhaustive for
+    *near* (non-identical) duplicates in a capped bucket — the
+    duplicate-group closure under connected components is preserved for
+    identical-signature members (hamming 0 to the representative), which
+    is exactly the mass-duplication case the cap exists for. Pass
+    ``max_bucket=None`` for exhaustive pigeonhole completeness (the
+    oracle-gate contract)."""
     width = bits // chunks
     mask = (1 << width) - 1
     banded = sims.select(

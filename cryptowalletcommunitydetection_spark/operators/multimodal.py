@@ -195,18 +195,19 @@ def sample_frames(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                data = bytes(r["bytes"] or b"")
+            # per-asset work is inherently per-row at the decode boundary,
+            # but frame the batch with plain column zips (iterrows builds a
+            # Series per row — measurable overhead at thousands of assets)
+            for asset_id, data, dur in zip(
+                pdf["asset_id"], pdf["bytes"], pdf["duration_ms"]
+            ):
+                data = bytes(data or b"")
                 if data[:4] == RAWVID_MAGIC:
                     _, _, n = struct.unpack("<HHI", data[4:12])
                     for i in range(0, n, stride):
                         frame = decode_rawvid_frame(data, i)
                         rows.append(
-                            {
-                                "asset_id": r["asset_id"],
-                                "frame_idx": i,
-                                "frame_sha": hashlib.sha256(frame.tobytes()).hexdigest(),
-                            }
+                            (asset_id, i, hashlib.sha256(frame.tobytes()).hexdigest())
                         )
                     continue
                 if not fake:
@@ -214,15 +215,11 @@ def sample_frames(
                         "compressed-video decode requires ffmpeg — not in "
                         "this container; use VID8 payloads or fake=True"
                     )
-                dur = int(r["duration_ms"] or 0)
+                dur = int(dur or 0)
                 base = hashlib.sha256(data).hexdigest()
                 for i in range(max(dur // every_ms, 0)):
                     rows.append(
-                        {
-                            "asset_id": r["asset_id"],
-                            "frame_idx": i,
-                            "frame_sha": hashlib.sha256(f"{base}:{i}".encode()).hexdigest(),
-                        }
+                        (asset_id, i, hashlib.sha256(f"{base}:{i}".encode()).hexdigest())
                     )
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha"])
 

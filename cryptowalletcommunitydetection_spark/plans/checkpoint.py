@@ -39,9 +39,31 @@ def checkpoint_df(df: DataFrame, path: str) -> DataFrame:
 def partition_lineage(spark: SparkSession, path: str) -> list[dict[str, Any]]:
     """Per-partition lineage of a checkpoint: file name, rows, bytes.
 
-    Cheap (parquet footer metadata only) and fully distributed — the
-    driver sees one small row per file.
+    Local checkpoint dirs are read as parquet FOOTERS only (pyarrow on
+    the driver — zero Spark jobs; the footer is O(1) per file, so even a
+    wide checkpoint costs milliseconds). Remote paths fall back to one
+    distributed per-file count job.
     """
+    local_dir = path
+    for pre in ("file://", "file:"):
+        if local_dir.startswith(pre):
+            local_dir = local_dir[len(pre):]
+    if os.path.isdir(local_dir):
+        import pyarrow.parquet as pq
+
+        out = []
+        for fn in sorted(os.listdir(local_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(local_dir, fn)
+            out.append(
+                {
+                    "file": fn,
+                    "rows": pq.ParquetFile(fp).metadata.num_rows,
+                    "bytes": os.path.getsize(fp),
+                }
+            )
+        return out
     rows = (
         spark.read.parquet(path)
         .groupBy(F.input_file_name().alias("file"))

@@ -19,7 +19,11 @@ def write_groups(groups: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def quarantine_sink(
-    joined: DataFrame, null_col: str, quarantine_path: str, mode: str = "overwrite"
+    joined: DataFrame,
+    null_col: str,
+    quarantine_path: str,
+    mode: str = "overwrite",
+    materialize: bool = True,
 ) -> DataFrame:
     """Split a left-join result: rows with ``null_col`` IS NULL are
     written to the quarantine table; the matched rows are returned.
@@ -27,6 +31,14 @@ def quarantine_sink(
     ``joined`` is persisted across the two branches so the quarantined
     and returned sets come from ONE evaluation of the plan (a mutating
     upstream source can't put a row in both or neither).
+
+    ``materialize=True`` (default) pins the matched branch with an eager
+    ``localCheckpoint`` and releases the persisted parent before
+    returning — repeated per-window calls don't accumulate cached plans.
+    Pass ``materialize=False`` when the matched branch is too large to
+    pin (the returned frame then keeps the snapshot guarantee through
+    the persisted parent, and the CALLER must ``.unpersist()`` it after
+    consuming the result).
 
     Replay semantics: the default ``mode="overwrite"`` is idempotent for
     a fixed path. When quarantining per window, point each window at its
@@ -36,7 +48,9 @@ def quarantine_sink(
     joined = joined.persist()
     missing = joined.filter(F.col(null_col).isNull())
     missing.write.mode(mode).parquet(quarantine_path)
-    # the returned branch reads the persisted parent (evicted by Spark's
-    # LRU after the caller consumes it), so both branches observe the
-    # same snapshot
-    return joined.filter(F.col(null_col).isNotNull())
+    matched = joined.filter(F.col(null_col).isNotNull())
+    if materialize:
+        out = matched.localCheckpoint(eager=True)
+        joined.unpersist()
+        return out
+    return matched

@@ -84,3 +84,22 @@ def test_asof_join_column_collision_suffixed(spark):
     assert sorted(out.columns) == ["ts", "uid", "value", "value_right"]
     rows = {r["ts"]: (r["value"], r["value_right"]) for r in out.collect()}
     assert rows == {5: (50, 1), 9: (90, 2)}
+
+
+def test_asof_join_strict_rejects_duplicate_right_ts(spark):
+    """strict=True fails loudly when the right side violates the
+    unique-per-(by, on) contract; a unique right side passes through."""
+    import pytest
+
+    left = spark.createDataFrame([("u", 5, 50)], "uid string, ts long, value long")
+    dup_right = spark.createDataFrame(
+        [("u", 4, 1), ("u", 4, 2)], "uid string, ts long, val long"
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        asof_join(left, dup_right, on="ts", by="uid", strict=True)
+
+    ok_right = spark.createDataFrame(
+        [("u", 4, 1), ("u", 3, 2)], "uid string, ts long, val long"
+    )
+    rows = asof_join(left, ok_right, on="ts", by="uid", strict=True).collect()
+    assert len(rows) == 1 and rows[0]["val"] == 1

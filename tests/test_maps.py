@@ -45,6 +45,35 @@ def test_cast_map_keys_long_roundtrip(spark):
     assert back == {"170001": 5, "170002": 6}
 
 
+def test_cast_map_keys_long_collision_strict_raises(spark):
+    # "1" and "01" collide after the cast — the default strict mode must
+    # surface that (mapKeyDedupPolicy=EXCEPTION), not silently pick one
+    df = _map_df(spark, [("a", {"1": 10, "01": 20})])
+    with pytest.raises(Exception):
+        df.select(M.cast_map_keys_long("m").alias("out")).collect()
+
+
+def test_cast_map_keys_long_lenient(spark):
+    # lenient: collided keys keep the LAST entry's value (dict-comp
+    # semantics), non-numeric keys drop
+    df = _map_df(spark, [("a", {"1": 10, "01": 20, "x": 99, "2": 7})])
+    ents = _one(
+        df.select(
+            F.sort_array(
+                F.map_entries(M.cast_map_keys_long("m", lenient=True))
+            ).alias("out")
+        )
+    )
+    got = {e["key"]: e["value"] for e in ents}
+    assert set(got) == {1, 2}
+    assert got[2] == 7
+    # the surviving value for key 1 must be one of the collided values,
+    # specifically the later entry of the map's entry order
+    raw = _one(df.select(F.map_entries("m").alias("out")))
+    later = [e["value"] for e in raw if e["key"] in ("1", "01")][-1]
+    assert got[1] == later
+
+
 def test_merge_maps_sum_shared_and_disjoint_and_null(spark):
     df = spark.createDataFrame(
         [

@@ -82,6 +82,49 @@ def test_lpa_resume(spark, tmp_path):
     assert resumed == full
 
 
+def test_pagerank_resume_rejects_changed_weights(spark, tmp_path):
+    """Same topology, different weights = a DIFFERENT input: reusing the
+    run_dir must start fresh, not serve the old input's checkpointed
+    state (the manifest hash covers the transition column p)."""
+    pairs = datagen.two_cliques_bridge(5)
+    base = datagen.edges_df(spark, pairs)
+    import pyspark.sql.functions as F
+
+    w1 = base.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 3 + 1.0).alias("weight")
+    )
+    w2 = base.select(
+        "src", "dst", ((F.col("src") * F.col("dst")) % 5 + 1.0).alias("weight")
+    )
+    d = str(tmp_path / "prw")
+    pagerank(spark, w1, tol=1e-10, weighted=True, run_dir=d)
+    resumed = pagerank(spark, w2, tol=1e-10, weighted=True, run_dir=d)
+    fresh = pagerank(spark, w2, tol=1e-10, weighted=True)
+    a, b = _ranks(resumed), _ranks(fresh)
+    assert set(a) == set(b)
+    assert max(abs(a[k] - b[k]) for k in a) < 1e-12
+
+
+def test_lpa_resume_rejects_changed_weights(spark, tmp_path):
+    pairs = datagen.two_cliques_bridge(5)
+    base = datagen.edges_df(spark, pairs)
+    import pyspark.sql.functions as F
+
+    w1 = base.select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 3 + 1.0).alias("weight")
+    )
+    w2 = base.select(
+        "src", "dst", ((F.col("src") * F.col("dst")) % 5 + 1.0).alias("weight")
+    )
+    d = str(tmp_path / "lpaw")
+    label_propagation(spark, w1, weighted=True, run_dir=d)
+    resumed = label_propagation(spark, w2, weighted=True, run_dir=d)
+    fresh = label_propagation(spark, w2, weighted=True)
+    got = {r["id"]: r["label"] for r in resumed.labels.collect()}
+    want = {r["id"]: r["label"] for r in fresh.labels.collect()}
+    assert got == want
+
+
 def test_manifest_records_partition_lineage(spark, tmp_path):
     edges = datagen.edges_df(spark, datagen.ring(8))
     d = str(tmp_path / "pr")
