@@ -62,9 +62,12 @@ def bipartite_group_rollup(
     cc = connected_components(spark, edges, vertices=verts, run_dir=run_dir)
 
     senders = pairs.select(F.col("from_address").alias("id")).distinct()
-    users = cc.join(senders, "id", "left_semi").withColumn("is_user", F.lit(True))
-    depos = cc.join(senders, "id", "left_anti").withColumn("is_user", F.lit(False))
-    tagged = users.unionByName(depos)
+    # one left join + flag instead of a semi/anti pair: same partition
+    # of the vertex set, half the join work (cc is scanned once)
+    tagged = (
+        cc.join(senders.withColumn("_s", F.lit(True)), "id", "left")
+        .select("id", "component", F.coalesce("_s", F.lit(False)).alias("is_user"))
+    )
 
     if nsalt:
         from .skew import salted_collect

@@ -117,3 +117,39 @@ def test_merge_upsert_set_union(spark):
         "0xb": (100, ["dex"]),             # untouched
         "0xc": (200, ["cex"]),             # inserted
     }
+
+
+def test_merge_upsert_table_catalog_path(spark):
+    """Catalog-native upsert: MERGE INTO when the catalog supports
+    row-level ops, DataFrame fallback otherwise (this container's
+    parquet catalog exercises the fallback) — final table contents must
+    equal merge_upsert's."""
+    from cryptowalletcommunitydetection_spark.operators.relational import (
+        merge_upsert_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS mu_target_test")
+    existing = spark.createDataFrame(
+        [("0xa", 100, ["cex"]), ("0xb", 100, ["dex"])],
+        "address string, lastUpdatedAt long, tags array<string>",
+    )
+    updates = spark.createDataFrame(
+        [("0xa", 200, ["lending"]), ("0xc", 200, ["cex"])],
+        "address string, lastUpdatedAt long, tags array<string>",
+    )
+    existing.write.saveAsTable("mu_target_test")
+    try:
+        merge_upsert_table(
+            spark, "mu_target_test", updates, ["address"], set_union_cols=["tags"]
+        )
+        got = {
+            r["address"]: (r["lastUpdatedAt"], list(r["tags"]))
+            for r in spark.table("mu_target_test").collect()
+        }
+        assert got == {
+            "0xa": (200, ["cex", "lending"]),
+            "0xb": (100, ["dex"]),
+            "0xc": (200, ["cex"]),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mu_target_test")
