@@ -58,6 +58,35 @@ def test_cc_empty(spark):
     assert connected_components(spark, edges).count() == 0
 
 
+def test_cc_encoded_equals_unencoded(spark):
+    """Int64 re-keying is a pure physical optimization: labels (and the
+    min-original-key component representative) must be identical to the
+    string-key run, including encoded isolated vertices."""
+    pairs = datagen.gen_wallet_pairs_pdf(n_components=5, seed=11)
+    edges = spark.createDataFrame(
+        pairs.rename(columns={"from_address": "src", "to_address": "dst"}),
+        schema="src string, dst string",
+    )
+    verts = spark.createDataFrame([("zz_isolated",)], "id string")
+    enc = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edges, vertices=verts, encode=True).collect()
+    }
+    plain = {
+        r["id"]: r["component"]
+        for r in connected_components(spark, edges, vertices=verts, encode=False).collect()
+    }
+    assert enc == plain
+    assert enc["zz_isolated"] == "zz_isolated"
+    # every component label is the minimum of its member keys
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for k, c in enc.items():
+        members[c].append(k)
+    assert all(min(v) == c for c, v in members.items())
+
+
 def test_cc_nonconvergence_raises_unless_opted_out(spark):
     """A capped run must not silently return labels from a non-fixpoint
     star set (they can be duplicated/inconsistent)."""
