@@ -46,10 +46,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges (larger, smaller); connect u and all smaller neighbors
-    to the minimum neighbor. Output canonically oriented src > dst."""
+    to the minimum neighbor. Output canonically oriented src > dst.
+
+    No input distinct: min() is duplicate-insensitive, duplicate (v, m)
+    join rows collapse in the output distinct, and the duplication factor
+    is bounded by the input's own multiplicity — one less shuffle per
+    round (measured ~15% off the per-round wall at sf0.1)."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-    ).distinct()
+    )
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     nbrs = (
         oriented.join(mins, "u")
@@ -79,6 +84,124 @@ def _edge_sketch(df: DataFrame):
     return r["n"], r["h"]
 
 
+LOCAL_CC_MAX_EDGES = 1_000_000
+"""Size gate (distinct non-loop edges) below which the star loop is
+replaced by a single-task union-find over the deduped edge set — the
+same physical-strategy principle as a broadcast join: when one side of
+the problem fits one executor comfortably, a local algorithm beats
+5 × O(log n) distributed rounds of pure scheduling latency. The task is
+an Arrow ``mapInPandas`` kernel (no per-row Python boundary crossings;
+O(E α(E)) work, ≲1 s at the gate). Above the gate — or whenever
+``run_dir`` checkpointing is requested — the alternating-star loop runs
+unchanged; ``local=False`` forces it (equality between the two paths is
+exact and tested)."""
+
+ENCODE_MIN_EDGES = 4_000_000
+"""Auto-mode threshold (distinct edges) above which string vertices are
+re-keyed to int64 for the iterative loop. Below it the re-keying's fixed
+costs (dictionary build + collision check + label decode joins) exceed
+the per-round savings; above it every round shuffles fixed-width longs
+instead of variable-length keys. See ``connected_components(encode=...)``."""
+
+
+def _local_star_edges(universe: DataFrame) -> DataFrame:
+    """Single-task union-find over the (small) distinct edge set.
+
+    Input: the pinned edge universe (self-loops tolerated). Output: star
+    edges (member, root) with root = min member of the component and
+    member != root — the same shape the distributed loop converges to,
+    so label derivation/decoding is shared. ``coalesce(1)`` is a narrow
+    merge of the checkpoint partitions (no shuffle); the kernel streams
+    Arrow batches into a path-compressed union-find, so the per-row
+    Python cost is dict operations, not serialization.
+
+    Min-key parity with Spark: for strings, UTF-8 byte order equals
+    codepoint order, so Python ``min`` agrees with Spark's ordering.
+    """
+    schema = universe.select("src", "dst").schema
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        size: dict = {}
+        for pdf in batches:
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra == rb:
+                    continue
+                sa, sb = size.get(ra, 1), size.get(rb, 1)
+                if sa < sb:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+                size[ra] = sa + sb
+        comp_min: dict = {}
+        roots = {v: find(v) for v in parent}
+        for v, r in roots.items():
+            m = comp_min.get(r)
+            if m is None or v < m:
+                comp_min[r] = v
+        srcs, dsts = [], []
+        for v, r in roots.items():
+            m = comp_min[r]
+            if v != m:
+                srcs.append(v)
+                dsts.append(m)
+        yield pd.DataFrame({"src": srcs, "dst": dsts})
+
+    return universe.select("src", "dst").coalesce(1).mapInPandas(uf, schema)
+
+
+def _encode_keys(raw: DataFrame, vertices: DataFrame | None):
+    """xxhash64(seed 42) re-keying dictionary over every vertex key.
+
+    Returns (vdict[vid, key], raw_encoded, vertices_encoded); vdict is
+    None when a 64-bit collision was detected among the keys (labels in
+    vid space would silently merge distinct vertices — the caller keeps
+    the original keys; the algorithm is key-type agnostic)."""
+    keys = raw.select(F.col("src").alias("key")).unionByName(
+        raw.select(F.col("dst").alias("key"))
+    )
+    if vertices is not None:
+        keys = keys.unionByName(
+            vertices.select(F.col("id").alias("key")).filter(F.col("id").isNotNull())
+        )
+    vdict = (
+        keys.distinct()
+        .select(F.xxhash64(F.col("key"), F.lit(42)).alias("vid"), "key")
+        .persist()
+    )
+    chk = vdict.agg(
+        F.count(F.lit(1)).alias("nk"), F.countDistinct("vid").alias("nv")
+    ).collect()[0]
+    if chk["nk"] != chk["nv"]:
+        vdict.unpersist()
+        return None, raw, vertices
+    raw_enc = raw.select(
+        F.xxhash64(F.col("src"), F.lit(42)).alias("src"),
+        F.xxhash64(F.col("dst"), F.lit(42)).alias("dst"),
+    )
+    verts_enc = None
+    if vertices is not None:
+        verts_enc = vertices.filter(F.col("id").isNotNull()).select(
+            F.xxhash64(F.col("id"), F.lit(42)).alias("id")
+        )
+    return vdict, raw_enc, verts_enc
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -87,6 +210,7 @@ def connected_components(
     run_dir: str | None = None,
     strict: bool = True,
     encode: bool | None = None,
+    local: bool | None = None,
 ) -> DataFrame:
     """DataFrame[id, component] with component = min member id.
 
@@ -100,10 +224,32 @@ def connected_components(
     the iterative loop — every per-round shuffle then moves and compares
     fixed-width longs instead of variable-length strings — and remaps
     the final labels back so ``component`` is the min ORIGINAL key of
-    each component (exact equality with the unencoded result). Default
-    (None) auto-enables for string keys after a collision check; a
-    detected collision (or ``encode=False``) keeps the original keys.
-    Measured at sf0.1 (16.5k vertices, 44k edges): 5.5s -> ~3.5s.
+    each component (exact equality with the unencoded result, collision
+    probability ~2^-64 and detected/fallen back on).
+
+    - ``None`` (default, adaptive): the deduped edge set is materialized
+      in original key space — the same single action that seeds the
+      fixpoint probe — and its exact count picks the path: re-key above
+      ``ENCODE_MIN_EDGES`` distinct edges, keep original keys below.
+      Measured at sf0.1 (44k edges) the fixed re-keying overhead is
+      ~2.4s of an ~8s run, while the per-round saving at that scale is
+      noise — hence the size gate.
+    - ``True`` (expert, for known-large graphs): re-key immediately and
+      skip the original-key pre-distinct entirely — round 0's small-star
+      dedups as part of its normal work, so nothing ever shuffles
+      variable-length keys except the one dictionary build.
+    - ``False``: always keep original keys.
+
+    For small graphs (auto path, known |E|) the loop also right-sizes
+    ``spark.sql.shuffle.partitions`` to ~100k edges/partition (floor 8,
+    never above the session setting, restored afterwards) — the same
+    measured treatment as the PageRank broadcast regime.
+
+    ``local`` picks the physical strategy below ``LOCAL_CC_MAX_EDGES``
+    distinct edges: ``None`` (default) auto-selects the single-task
+    union-find fast path when ``run_dir`` is not requested; ``False``
+    forces the distributed star loop; ``True`` forces the local kernel
+    regardless of size (expert). Both produce bitwise-identical labels.
     """
     from pyspark.sql.types import StringType
 
@@ -111,74 +257,167 @@ def connected_components(
         edges.select("src", "dst")
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     )
+    is_string = isinstance(raw.schema["src"].dataType, StringType)
     vdict = None
-    if encode is None:
-        encode = isinstance(raw.schema["src"].dataType, StringType)
-    if encode:
-        keys = raw.select(F.col("src").alias("key")).unionByName(
-            raw.select(F.col("dst").alias("key"))
-        )
-        if vertices is not None:
-            keys = keys.unionByName(
-                vertices.select(F.col("id").alias("key")).filter(
-                    F.col("id").isNotNull()
-                )
-            )
-        vdict = (
-            keys.distinct()
-            .select(F.xxhash64(F.col("key"), F.lit(42)).alias("vid"), "key")
-            .persist()
-        )
-        chk = vdict.agg(
-            F.count(F.lit(1)).alias("nk"), F.countDistinct("vid").alias("nv")
+    n_edges = None  # exact distinct-edge count, when the auto path paid for it
+    input_sketch = None
+    universe = None  # pinned distinct edges incl. self-loops (vertex source)
+
+    if encode is True and is_string:
+        # expert path: no original-key distinct at all (round 0 dedups);
+        # a duplicated initial sketch can only fail the fixpoint compare
+        # (counts differ), never falsely match it. The final vertex
+        # derivation re-scans the upstream plan once — the price of
+        # skipping the dedup materialization.
+        vdict, raw, vertices = _encode_keys(raw, vertices)
+        prev = raw.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=False)
+        pinned_seed = prev
+        edge_universe = raw
+        if run_dir is not None:
+            # manifest identity must be multiplicity-insensitive (CC
+            # depends only on the distinct set; bit_xor cancels dup pairs)
+            input_sketch = _edge_sketch(raw.distinct())
+            prev_sketch = _edge_sketch(prev)
+        else:
+            prev_sketch = _edge_sketch(prev)
+    else:
+        # ONE materialization of the distinct edge set INCLUDING
+        # self-loops. It serves three roles off a single action:
+        # the fixpoint-probe seed (self-loops filtered, a narrow op over
+        # the checkpoint), the vertex universe for the final label join
+        # (no re-scan of the upstream pipeline — for a derived edge
+        # table that re-scan was the single largest cost of the run),
+        # and the manifest input identity (self-loop-only vertices are
+        # part of the OUTPUT as singletons, so they belong in the
+        # identity; the previous self-loop-free hash let two inputs
+        # differing only in such a vertex share a resume state).
+        universe = raw.distinct().localCheckpoint(eager=False)
+        non_loop = F.col("src") != F.col("dst")
+        h42 = lambda c: F.xxhash64(F.col(c), F.lit(42))  # noqa: E731
+        r = universe.agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h_all"),
+            F.count(F.when(non_loop, 1)).alias("n_e"),
+            F.bit_xor(F.when(non_loop, F.xxhash64("src", "dst"))).alias("h_e"),
+            # seed sketch in re-keyed long space, in case encode triggers
+            # (same single action; picks the space after seeing n_e)
+            F.bit_xor(
+                F.when(non_loop, F.xxhash64(h42("src"), h42("dst")))
+            ).alias("h_enc"),
         ).collect()[0]
-        if chk["nk"] != chk["nv"]:
-            # a 64-bit collision among the vertex keys: labels in vid
-            # space would silently merge distinct vertices — fall back
-            # to the original keys (algorithms are key-type agnostic)
-            vdict.unpersist()
-            vdict = None
-            encode = False
-    if encode:
-        raw = raw.select(
-            F.xxhash64(F.col("src"), F.lit(42)).alias("src"),
-            F.xxhash64(F.col("dst"), F.lit(42)).alias("dst"),
-        )
-        if vertices is not None:
-            vertices = vertices.filter(F.col("id").isNotNull()).select(
-                F.xxhash64(F.col("id"), F.lit(42)).alias("id")
+        input_sketch = (r["n_all"], r["h_all"])
+        n_edges = r["n_e"]
+        if run_dir is None and (
+            local is True or (local is None and n_edges <= LOCAL_CC_MAX_EDGES)
+        ):
+            # small-graph fast path: one union-find task instead of
+            # ~5 distributed rounds (measured crossover in BENCH/; the
+            # distributed loop still covers run_dir checkpointing and
+            # everything above the gate)
+            out = _finish_labels(
+                spark, _local_star_edges(universe), universe, vertices,
+                None, universe,
             )
-    e = raw.filter(F.col("src") != F.col("dst")).distinct()
+            out._cwcd_n_edges = n_edges
+            return out
+        if encode is None:
+            encode = is_string and n_edges >= ENCODE_MIN_EDGES
+        if encode and is_string:
+            vdict, raw, vertices = _encode_keys(raw, vertices)
+        if vdict is not None:
+            # injective on vertices (collision-checked) => the mapped
+            # edge set is still distinct; no second dedup shuffle, and
+            # the loop/labels run entirely in long space off the same
+            # pinned universe
+            edge_universe = universe.select(
+                h42("src").alias("src"), h42("dst").alias("dst")
+            )
+            prev = edge_universe.filter(non_loop)
+            prev_sketch = (n_edges, r["h_enc"])
+        else:
+            encode = False
+            edge_universe = universe
+            prev = universe.filter(non_loop)
+            prev_sketch = (n_edges, r["h_e"])
+        pinned_seed = None  # the universe checkpoint backs the seed
 
     manifest = None
     start_k = 0
-    input_sketch = None
     if run_dir is not None:
         # the manifest keys on the INPUT identity too — resuming a run_dir
         # against a different edge table must start fresh, not serve the
         # previous input's converged stars
-        input_sketch = _edge_sketch(e)
         manifest = RunManifest.open_or_create(
             run_dir, "cc",
             {
                 "input_rows": input_sketch[0],
                 "input_hash": input_sketch[1],
-                "encoded": encode,
+                "encoded": vdict is not None,
             },
         )
         last = manifest.last_complete()
         if last >= 0:
-            e = manifest.load_state(spark, last)
+            if pinned_seed is not None:
+                pinned_seed.unpersist()
+                pinned_seed = None
+            loaded = manifest.load_state(spark, last)
             start_k = last + 1
             done = [s for s in manifest.supersteps if s["k"] == last and s.get("delta") == 0]
             if done:
-                return _decode_labels(
-                    _labels_from_stars(spark, e, raw, vertices), vdict
+                out = _finish_labels(
+                    spark, loaded, edge_universe, vertices, vdict, universe
                 )
+                out._cwcd_n_edges = n_edges
+                return out
+            prev = loaded
+            prev_sketch = _edge_sketch(prev)
 
-    prev = e.localCheckpoint(eager=True) if manifest is None else e
-    prev_sketch = input_sketch if start_k == 0 and input_sketch else _edge_sketch(prev)
+    # small-graph regime (auto path only — n_edges known): right-size the
+    # per-round shuffles; restored in the finally below. AQE stays ON for
+    # CC (unlike PageRank's broadcast loop): measured at sf0.1, AQE off
+    # is 2-10x worse here (the per-round joins need its runtime broadcast
+    # conversion), and at scale its skew handling matters.
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_before = spark.conf.get(sp_key)
+    resized = False
+    if n_edges is not None and n_edges <= 3_200_000:
+        try:
+            parts = max(8, min(int(sp_before), (n_edges + 99_999) // 100_000))
+            if parts < int(sp_before):
+                spark.conf.set(sp_key, str(parts))
+                resized = True
+        except ValueError:  # non-numeric session setting (e.g. "auto")
+            pass
+    try:
+        out = _cc_loop(
+            spark, prev, prev_sketch, edge_universe, vertices, vdict,
+            manifest, start_k, max_iter, strict, pinned_seed, universe,
+        )
+    finally:
+        if resized:
+            spark.conf.set(sp_key, sp_before)
+    # private hint for composing operators (e.g. the community rollup):
+    # the exact distinct-edge count the auto path already paid for, so
+    # downstream right-sizing needs no extra action (None on the expert
+    # encode=True path, which never counts)
+    out._cwcd_n_edges = n_edges
+    return out
 
+
+def _cc_loop(
+    spark: SparkSession,
+    prev: DataFrame,
+    prev_sketch,
+    edge_universe: DataFrame,
+    vertices: DataFrame | None,
+    vdict: DataFrame | None,
+    manifest: RunManifest | None,
+    start_k: int,
+    max_iter: int,
+    strict: bool,
+    pinned_seed: DataFrame | None,
+    universe: DataFrame | None,
+) -> DataFrame:
     delta = None
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
@@ -205,8 +444,14 @@ def connected_components(
                 spark, k, wall_ms=(time.monotonic() - t0) * 1e3, delta=delta, rows=rows
             )
         # release the superseded round's pinned state (the new round is
-        # materialized and no longer depends on it)
-        if manifest is None:
+        # materialized and no longer depends on it). The expert path's
+        # pinned seed is released exactly once here; the auto path's
+        # round-0 prev is a narrow op over the universe checkpoint
+        # (nothing of its own to release — the universe stays pinned
+        # through the run, it backs the final vertex derivation).
+        if prev is pinned_seed and pinned_seed is not None:
+            pinned_seed.unpersist()
+        elif manifest is None and k > start_k:
             prev.unpersist()
         prev = stepped
         if delta == 0:
@@ -223,7 +468,35 @@ def connected_components(
             f"({max_iter}); raise max_iter (resume supported via run_dir) "
             f"or pass strict=False for best-effort labels"
         )
-    return _decode_labels(_labels_from_stars(spark, prev, raw, vertices), vdict)
+    out = _finish_labels(spark, prev, edge_universe, vertices, vdict, universe)
+    if universe is not None and manifest is None:
+        # out is materialized (auto path pins eagerly) — the final
+        # round's localCheckpoint can be released too (no-op when the
+        # loop converged on the seed itself)
+        prev.unpersist()
+    return out
+
+
+def _finish_labels(
+    spark: SparkSession,
+    stars: DataFrame,
+    edge_universe: DataFrame,
+    vertices: DataFrame | None,
+    vdict: DataFrame | None,
+    universe: DataFrame | None,
+) -> DataFrame:
+    """Derive + decode the labels; on the auto path (pinned universe)
+    pin the result eagerly — while any loop-scoped right-sized shuffle
+    width is still in force — and release the universe checkpoint. The
+    expert path (universe None) returns a lazy plan over the caller's
+    edge expression, as before."""
+    out = _decode_labels(_labels_from_stars(spark, stars, edge_universe, vertices), vdict)
+    if universe is not None:
+        if vdict is None:
+            # the encoded path already pinned inside _decode_labels
+            out = out.localCheckpoint(eager=True)
+        universe.unpersist()
+    return out
 
 
 def _labels_from_stars(

@@ -45,9 +45,13 @@ def bipartite_group_rollup(
     land on one task; see graph/skew.py::salted_collect). Results are
     identical with/without (tests/test_skew.py invariance applies).
     """
+    # pairs feeds four scans (edges->cc, verts, senders, edge_comp); when
+    # it is itself a join pipeline (the reference's trade-pair extraction
+    # is a 4-table join) recomputing it per scan dominates the rollup.
+    # Persist once; CC's first action materializes the cache.
     pairs = pairs.select(
         F.col(from_col).alias("from_address"), F.col(to_col).alias("to_address")
-    )
+    ).persist()
     edges = canonicalize_edges(pairs, "from_address", "to_address")
     # every pair endpoint is a community member even when its only pair
     # is a self-transfer (canonicalize drops self-loops, so such wallets
@@ -118,4 +122,31 @@ def bipartite_group_rollup(
         F.size("user_wallets").alias("num_user"),
         F.size("deposit_wallets").alias("num_depo"),
     )
+
+    # small-graph regime: CC's auto path already paid for the exact
+    # distinct-edge count (no extra action here) — right-size the five
+    # rollup shuffles to ~100k edges/partition and materialize while the
+    # narrower width is in scope (shuffle.partitions binds at action
+    # time, so a lazy return would replan at the session width), then
+    # release the pairs cache. On the large path (hint missing or
+    # > ~3.2M edges) out stays lazy at the session width and the pairs
+    # cache is left for the caller's single consuming action (LRU-evicted
+    # afterwards).
+    n_edges = getattr(cc, "_cwcd_n_edges", None)
+    if n_edges is not None and n_edges <= 3_200_000:
+        sp_key = "spark.sql.shuffle.partitions"
+        sp_before = spark.conf.get(sp_key)
+        try:
+            parts = max(8, min(int(sp_before), (n_edges + 99_999) // 100_000))
+            narrowed = parts < int(sp_before)
+        except ValueError:  # non-numeric session setting (e.g. "auto")
+            narrowed = False
+        if narrowed:
+            spark.conf.set(sp_key, str(parts))
+        try:
+            out = out.localCheckpoint(eager=True)
+        finally:
+            if narrowed:
+                spark.conf.set(sp_key, sp_before)
+        pairs.unpersist()
     return out

@@ -15,13 +15,14 @@ SHAPES = {
 }
 
 
+@pytest.mark.parametrize("local", [None, False], ids=["local-auto", "distributed"])
 @pytest.mark.parametrize("name", sorted(SHAPES))
-def test_cc_matches_networkx(spark, name):
+def test_cc_matches_networkx(spark, name, local):
     pairs = SHAPES[name]
     edges = datagen.edges_df(spark, pairs)
     got = {
         r["id"]: r["component"]
-        for r in connected_components(spark, edges).collect()
+        for r in connected_components(spark, edges, local=local).collect()
     }
     assert got == nx_components(pairs)
 
@@ -87,6 +88,33 @@ def test_cc_encoded_equals_unencoded(spark):
     assert all(min(v) == c for c, v in members.items())
 
 
+def test_cc_local_equals_distributed(spark, reference_pairs_pdf):
+    """The single-task union-find fast path is a pure physical strategy:
+    labels must equal the distributed star loop's bit-for-bit, isolated
+    vertices included."""
+    edges = spark.createDataFrame(
+        reference_pairs_pdf.rename(
+            columns={"from_address": "src", "to_address": "dst"}
+        ),
+        schema="src string, dst string",
+    )
+    verts = spark.createDataFrame([("zz_isolated",)], "id string")
+    loc = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark, edges, vertices=verts, local=True
+        ).collect()
+    }
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark, edges, vertices=verts, local=False
+        ).collect()
+    }
+    assert loc == dist
+    assert loc["zz_isolated"] == "zz_isolated"
+
+
 def test_cc_nonconvergence_raises_unless_opted_out(spark):
     """A capped run must not silently return labels from a non-fixpoint
     star set (they can be duplicated/inconsistent)."""
@@ -95,6 +123,11 @@ def test_cc_nonconvergence_raises_unless_opted_out(spark):
     pairs = datagen.erdos_renyi(60, 0.05, seed=3)
     edges = datagen.edges_df(spark, pairs)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(spark, edges, max_iter=1)
+        connected_components(spark, edges, max_iter=1, local=False)
     # opt-out returns best-effort labels without raising
-    assert connected_components(spark, edges, max_iter=1, strict=False).count() > 0
+    assert (
+        connected_components(
+            spark, edges, max_iter=1, strict=False, local=False
+        ).count()
+        > 0
+    )
