@@ -18,7 +18,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -101,11 +101,19 @@ def label_propagation(
             F.col("dst"), F.col("label"), F.col("weight")
         )
         scores = nbr.groupBy("dst", "label").agg(F.sum("weight").alias("_s"))
-        w = Window.partitionBy("dst").orderBy(F.desc("_s"), F.asc("label"))
+        # argmax by (greatest _s, then smallest label) as a hash agg:
+        # min(struct(-_s, label)) picks the same winner a
+        # row_number window over (desc _s, asc label) would, without
+        # the window's per-partition sort — two hash aggs per superstep
+        # (both with map-side partial aggregation), no sort anywhere
         best = (
-            scores.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("dst").alias("id"), F.col("label").alias("_new"))
+            scores.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_s")).alias("_ns"), F.col("label"))
+                ).alias("_b")
+            )
+            .select(F.col("dst").alias("id"), F.col("_b.label").alias("_new"))
         )
         new_labels = (
             labels.join(best, "id", "left")
