@@ -38,6 +38,20 @@ from .edges import canonicalize_edges, symmetrize, vertices_of
 # Above this vertex count the rank table is no longer broadcast.
 BROADCAST_MAX_VERTICES = 2_000_000
 
+LOCAL_PR_MAX_EDGES = 4_000_000
+"""Size gate (normalized directed edge rows) below which the superstep
+loop is replaced by a single-task vectorized numpy power iteration —
+the same physical-strategy principle as the CC union-find fast path
+(graph/cc.py LOCAL_CC_MAX_EDGES) and a broadcast join: when the whole
+transition table fits one executor comfortably, ~100 supersteps of pure
+job-scheduling latency (~400 ms each in local mode) dwarf the O(E) work
+per iteration (a 1.2M-row scatter/gather is ~5 ms in numpy). Measured
+crossover in BENCH/BASELINE.md. The distributed loop still covers
+``run_dir`` checkpointing and everything above the gate;
+``strategy="broadcast"/"copartition"/"blocked"`` forces it. Parity
+between the two paths is within float64 summation-order noise (≪ the
+1e-6 convergence contract) and is tested."""
+
 
 @dataclass
 class PageRankResult:
@@ -45,6 +59,136 @@ class PageRankResult:
     supersteps: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+
+
+def _local_pagerank(
+    vertices: DataFrame | None,
+    norm: DataFrame,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+) -> PageRankResult:
+    """Single-task power iteration over the (small) transition table.
+
+    Input: ``norm(src, dst, p)`` — the same normalized transition table
+    the distributed supersteps scatter. The vertex universe is derived
+    from the edge endpoints inside the kernel (exactly ``vertices_of``'s
+    set); only the optional extra ``vertices`` frame rides along as
+    null-dst marker rows, so isolated vertices are part of the state as
+    in the distributed loop. The kernel is vectorized numpy (one
+    ``np.unique(return_inverse)`` index over a fixed-width-bytes view of
+    string keys — C memcmp, not per-element Python compares — lexsorted
+    edge order for run-to-run determinism, bincount gather); per-row
+    Python never touches edge data. Update rule, dangling-mass
+    handling, L1 convergence test and iteration count are the
+    distributed loop's, term for term:
+
+      rank' = (1-α)/n + α·dmass/n + α·Σ_{u→v} rank(u)·p(u,v)
+
+    ``coalesce(1)`` is a narrow merge (no shuffle) of the transition
+    table's partitions.
+    """
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    id_type = norm.schema["src"].dataType
+    out_schema = StructType([
+        StructField("id", id_type),
+        StructField("rank", DoubleType()),
+        StructField("_k", IntegerType()),
+        StructField("_conv", BooleanType()),
+    ])
+    marked = norm.select("src", "dst", "p")
+    if vertices is not None:
+        marked = marked.unionByName(
+            vertices.select(
+                F.col("id").cast(id_type).alias("src"),
+                F.lit(None).cast(id_type).alias("dst"),
+                F.lit(None).cast("double").alias("p"),
+            )
+        )
+
+    def power_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts, ps, vids = [], [], [], []
+        for pdf in batches:
+            isv = pdf["dst"].isna()
+            if isv.any():
+                vids.append(pdf.loc[isv, "src"].to_numpy())
+                e = pdf.loc[~isv]
+            else:
+                e = pdf
+            srcs.append(e["src"].to_numpy())
+            dsts.append(e["dst"].to_numpy())
+            ps.append(e["p"].to_numpy(dtype=np.float64))
+        all_keys = np.concatenate(vids + srcs + dsts)
+        if all_keys.size == 0:
+            yield pd.DataFrame(
+                {"id": [], "rank": [], "_k": [], "_conv": []}
+            ).astype({"_k": "int32", "_conv": "bool"})
+            return
+        # index in one pass. String keys go through pd.factorize (C hash
+        # over all E rows) + an argsort of the V uniques only — measured
+        # 5x over np.unique on a bytes view, 10x+ over object-dtype
+        # unique, and the resulting (sorted-id) mapping is identical, so
+        # the deterministic summation order is preserved.
+        if all_keys.dtype == object:
+            codes, uniques = pd.factorize(all_keys)
+            order_u = np.argsort(uniques)
+            pos = np.empty(len(order_u), dtype=np.int64)
+            pos[order_u] = np.arange(len(order_u))
+            inv = pos[codes]
+            ids = uniques[order_u]
+        else:
+            ids, inv = np.unique(all_keys, return_inverse=True)
+        nn = len(ids)
+        n_v = sum(len(a) for a in vids)
+        n_e = sum(len(a) for a in srcs)
+        src_i = inv[n_v:n_v + n_e]
+        dst_i = inv[n_v + n_e:]
+        p = np.concatenate(ps) if ps else np.array([], dtype=np.float64)
+        # deterministic summation order regardless of upstream Spark row
+        # order: gather in (dst, src) order
+        order = np.lexsort((src_i, dst_i))
+        src_i, dst_i, p = src_i[order], dst_i[order], p[order]
+        has_out = np.zeros(nn, dtype=bool)
+        has_out[src_i] = True
+        dang = ~has_out
+
+        ranks = np.full(nn, 1.0 / nn, dtype=np.float64)
+        dmass = float(ranks[dang].sum())
+        steps, converged = 0, False
+        for k in range(max_iter):
+            base = (1.0 - alpha) / nn + alpha * dmass / nn
+            contrib = np.bincount(dst_i, weights=ranks[src_i] * p, minlength=nn)
+            new = base + alpha * contrib
+            delta = float(np.abs(new - ranks).sum())
+            ranks = new
+            dmass = float(ranks[dang].sum())
+            steps = k + 1
+            if delta < tol:
+                converged = True
+                break
+        yield pd.DataFrame({
+            "id": ids,
+            "rank": ranks,
+            "_k": np.int32(steps),
+            "_conv": converged,
+        })
+
+    out = marked.coalesce(1).mapInPandas(power_iter, out_schema)
+    out = out.localCheckpoint(eager=True)
+    meta = out.select(
+        F.max("_k").alias("k"), F.min("_conv").alias("c")
+    ).collect()[0]
+    return PageRankResult(
+        out.select("id", "rank"),
+        int(meta["k"] or 0),
+        bool(meta["c"]) if meta["c"] is not None else True,
+    )
 
 
 def pagerank(
@@ -69,6 +213,11 @@ def pagerank(
 
     ``strategy`` picks the superstep physical plan:
 
+    - "local" (auto-selected below ``LOCAL_PR_MAX_EDGES`` normalized
+      edge rows when no ``run_dir`` is requested): one vectorized
+      power-iteration task over the whole transition table — the
+      broadcast-join principle applied to the iteration itself; see
+      ``_local_pagerank``. Incompatible with ``run_dir``.
     - "broadcast": ranks broadcast to dst-partitioned edges; fastest
       while the rank table is broadcastable. Serial cost: building the
       broadcast (~|V|) every superstep.
@@ -107,6 +256,27 @@ def pagerank(
             canon = canon.select("src", "dst", F.lit(1).alias("weight"))
         e = symmetrize(canon, weight=True)
 
+    out_w = e.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+    norm = e.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("_wsum")).alias("p")
+    )
+    # local fast path (see LOCAL_PR_MAX_EDGES). The size probe pins the
+    # transition table and counts it (one job); a fall-through to the
+    # distributed loop reuses the pinned table, so the probe never
+    # recomputes the normalization. The vertex universe is not
+    # materialized at all on the local path — the kernel derives it from
+    # the edge endpoints (+ the optional `vertices` marker rows).
+    if strategy == "local" and run_dir is not None:
+        raise ValueError(
+            "strategy='local' is incompatible with run_dir checkpointing; "
+            "use the distributed loop for resumable runs"
+        )
+    if run_dir is None and strategy in ("auto", "local"):
+        pinned = norm.localCheckpoint(eager=False)
+        if strategy == "local" or pinned.count() <= LOCAL_PR_MAX_EDGES:
+            return _local_pagerank(vertices, pinned, alpha, tol, max_iter)
+        norm = pinned
+
     verts = vertices_of(e)
     if vertices is not None:
         verts = verts.unionByName(vertices.select("id")).distinct()
@@ -118,13 +288,9 @@ def pagerank(
         return PageRankResult(empty, 0, True)
 
     np = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if strategy == "auto":
+    if strategy in ("auto", "local"):
         strategy = "broadcast" if n <= BROADCAST_MAX_VERTICES else "copartition"
     broadcast_ranks = strategy == "broadcast"
-    out_w = e.groupBy("src").agg(F.sum("weight").alias("_wsum"))
-    norm = e.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("_wsum")).alias("p")
-    )
     # Partitioning of the persisted transition table:
     # - broadcast: scatter join is map-side, so partition by dst — the
     #   gather's map-side partial agg emits ~one row per dst and the

@@ -121,3 +121,56 @@ def test_pagerank_one_spark_job_per_superstep(spark):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abj)
     assert j6 - j3 == 3, (j3, j6)
+
+
+def test_pagerank_local_path_equals_distributed(spark):
+    """The single-task local strategy (auto-selected below
+    LOCAL_PR_MAX_EDGES) reproduces the distributed loop term for term:
+    same superstep count, same convergence flag, ranks equal within
+    float64 summation-order noise (observed ~1e-18, asserted 1e-12 —
+    far inside the 1e-6 north-rule contract). Covers dangling sinks
+    (directed), weights, and isolated vertices from the `vertices`
+    param."""
+    pairs = datagen.erdos_renyi(60, 0.08, seed=3) + datagen.star(9)
+    w = [(f"v{a}", f"v{b}", float((a + b) % 5 + 1)) for a, b in pairs]
+    edges = spark.createDataFrame(w, ["src", "dst", "weight"])
+    verts = spark.createDataFrame([("isolated",)], ["id"])
+    for directed in (False, True):
+        loc = pagerank(
+            spark, edges, tol=1e-9, weighted=True, directed=directed,
+            vertices=verts, strategy="local",
+        )
+        dist = pagerank(
+            spark, edges, tol=1e-9, weighted=True, directed=directed,
+            vertices=verts, strategy="copartition",
+        )
+        l = {r["id"]: r["rank"] for r in loc.ranks.collect()}
+        d = {r["id"]: r["rank"] for r in dist.ranks.collect()}
+        assert set(l) == set(d) and "isolated" in l
+        assert loc.supersteps == dist.supersteps
+        assert loc.converged and dist.converged
+        assert max(abs(l[k] - d[k]) for k in l) < 1e-12
+
+
+def test_pagerank_auto_selects_local_and_run_dir_forces_distributed(
+    spark, tmp_path
+):
+    from cryptowalletcommunitydetection_spark.graph import pagerank as prmod
+
+    pairs = datagen.two_cliques_bridge(5)
+    edges = datagen.edges_df(spark, pairs)
+    auto = pagerank(spark, edges, tol=1e-9, weighted=False)
+    forced = pagerank(spark, edges, tol=1e-9, weighted=False, strategy="local")
+    a = {r["id"]: r["rank"] for r in auto.ranks.collect()}
+    f = {r["id"]: r["rank"] for r in forced.ranks.collect()}
+    # identical bits: auto below the size gate IS the local kernel
+    assert a == f
+    # checkpointed runs never take the local path (per-superstep lineage
+    # is part of the contract); strategy="local" + run_dir is an error
+    res = pagerank(
+        spark, edges, tol=1e-9, weighted=False, run_dir=str(tmp_path / "pr")
+    )
+    assert res.metrics, "run_dir path must record superstep metrics"
+    _compare(res.ranks.collect(), {k: a[k] for k in a}, atol=1e-9)
+    with pytest.raises(ValueError):
+        pagerank(spark, edges, strategy="local", run_dir=str(tmp_path / "x"))
