@@ -1020,8 +1020,19 @@ def q_simhash_complete(spark, sf_dir):
         .filter(F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= 3)
         .select("a", "b")
     )
-    missed = brute.exceptAll(banded).count()
-    spurious = banded.exceptAll(brute).count()
+    # both sides are distinct pair sets, so the symmetric difference is
+    # one full-outer join with presence flags — a single action instead
+    # of two exceptAll counts (each of which re-executes both inputs)
+    sym = (
+        brute.withColumn("_x", F.lit(1))
+        .join(banded.withColumn("_y", F.lit(1)), ["a", "b"], "full_outer")
+        .agg(
+            F.sum(F.when(F.col("_y").isNull(), 1).otherwise(0)).alias("_m"),
+            F.sum(F.when(F.col("_x").isNull(), 1).otherwise(0)).alias("_s"),
+        )
+        .collect()[0]
+    )
+    missed, spurious = int(sym["_m"] or 0), int(sym["_s"] or 0)
     sims.unpersist()
     return spark.createDataFrame(
         [("brute_minus_banded", missed), ("banded_minus_brute", spurious)],

@@ -34,6 +34,114 @@ class LPAResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+LOCAL_LPA_MAX_EDGES = 4_000_000
+"""Size gate (deduped directed vote rows) below which the superstep
+loop runs as a single vectorized numpy task — the same physical-strategy
+principle as the CC union-find and PageRank power-iteration fast paths:
+below the gate, distributed supersteps are pure job-scheduling latency.
+Vote sums are float64 in both paths; with integral weights (including
+the unweighted lit(1) case) sums are exact below 2^53 regardless of
+order, so the min-(−score, label) tie-break is bit-identical to the
+distributed hash-agg argmax. ``run_dir`` checkpointing always uses the
+distributed loop."""
+
+
+def _local_lpa(e: DataFrame, max_iter: int) -> LPAResult:
+    """Single-task synchronous LPA over the (small) deduped vote table.
+
+    Input: ``e(src, dst, weight)`` — directed vote rows, already
+    symmetrized/deduplicated by the caller exactly as for the
+    distributed loop. Vertex index via pd.factorize + argsort of the
+    uniques (sorted index order == Spark's key order for ASCII keys), so
+    "smallest label" ties resolve to the same winner. Per superstep:
+    one (dst, label) key compaction + bincount + lexsorted group-head
+    pick — the vectorized twin of the two hash aggs in the distributed
+    superstep."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, IntegerType, StructField, StructType,
+    )
+
+    id_type = e.schema["src"].dataType
+    out_schema = StructType([
+        StructField("id", id_type),
+        StructField("label", id_type),
+        StructField("_k", IntegerType()),
+        StructField("_conv", BooleanType()),
+    ])
+
+    def lpa_iter(batches):
+        import numpy as np
+
+        srcs, dsts, ws = [], [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+            ws.append(pdf["weight"].to_numpy(dtype=np.float64))
+        if not srcs or sum(len(a) for a in srcs) == 0:
+            yield pd.DataFrame(
+                {"id": [], "label": [], "_k": [], "_conv": []}
+            ).astype({"_k": "int32", "_conv": "bool"})
+            return
+        all_keys = np.concatenate(srcs + dsts)
+        if all_keys.dtype == object:
+            codes, uniques = pd.factorize(all_keys)
+            order_u = np.argsort(uniques)
+            pos = np.empty(len(order_u), dtype=np.int64)
+            pos[order_u] = np.arange(len(order_u))
+            inv = pos[codes]
+            ids = uniques[order_u]
+        else:
+            ids, inv = np.unique(all_keys, return_inverse=True)
+        nn = len(ids)
+        n_e = sum(len(a) for a in srcs)
+        src_i, dst_i = inv[:n_e], inv[n_e:]
+        w = np.concatenate(ws)
+
+        lab = np.arange(nn, dtype=np.int64)  # label_0(v) = v
+        steps, converged = 0, False
+        for k in range(max_iter):
+            # (dst, neighbor-label) vote sums
+            key = dst_i * nn + lab[src_i]
+            uk, ki = np.unique(key, return_inverse=True)
+            s = np.bincount(ki, weights=w)
+            kd = uk // nn
+            kl = uk % nn
+            # per dst: max score, tie -> smallest label. uk is sorted by
+            # (kd, kl); reorder by (kd, -s, kl) and take each group head.
+            o = np.lexsort((kl, -s, kd))
+            kd_o, kl_o = kd[o], kl[o]
+            head = np.ones(len(o), dtype=bool)
+            head[1:] = kd_o[1:] != kd_o[:-1]
+            new = lab.copy()
+            new[kd_o[head]] = kl_o[head]
+            changed = int((new != lab).sum())
+            lab = new
+            steps = k + 1
+            if changed == 0:
+                converged = True
+                break
+        yield pd.DataFrame({
+            "id": ids,
+            "label": ids[lab],
+            "_k": np.int32(steps),
+            "_conv": converged,
+        })
+
+    out = e.select("src", "dst", "weight").coalesce(1).mapInPandas(
+        lpa_iter, out_schema
+    )
+    out = out.localCheckpoint(eager=True)
+    meta = out.select(
+        F.max("_k").alias("k"), F.min("_conv").alias("c")
+    ).collect()[0]
+    return LPAResult(
+        out.select("id", "label"),
+        int(meta["k"] or 0),
+        bool(meta["c"]) if meta["c"] is not None else True,
+    )
+
+
 def label_propagation(
     spark: SparkSession,
     edges: DataFrame,
@@ -41,8 +149,17 @@ def label_propagation(
     weighted: bool = False,
     directed: bool = False,
     run_dir: str | None = None,
+    local: bool | None = None,
 ) -> LPAResult:
-    """DataFrame[id, label] after synchronous min-tie-break LPA."""
+    """DataFrame[id, label] after synchronous min-tie-break LPA.
+
+    ``local`` picks the physical strategy below ``LOCAL_LPA_MAX_EDGES``
+    deduped vote rows: ``None`` (default) auto-selects the single-task
+    vectorized kernel when ``run_dir`` is not requested; ``False``
+    forces the distributed superstep loop; ``True`` forces the local
+    kernel regardless of size (expert). Label parity between the two
+    paths is exact for integral weights (see LOCAL_LPA_MAX_EDGES) and
+    tested."""
     has_w = weighted and "weight" in edges.columns
     if directed:
         # same hygiene as the undirected path: self-loops never vote for
@@ -62,6 +179,15 @@ def label_propagation(
             canon = canon.select("src", "dst", F.lit(1).alias("weight"))
         e = symmetrize(canon, weight=True)
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # local fast path: size-probe the deduped vote table (the count also
+    # materializes the persist the distributed loop needs anyway)
+    if run_dir is None and local is not False:
+        m = e.count()
+        if local is True or m <= LOCAL_LPA_MAX_EDGES:
+            res = _local_lpa(e, max_iter)
+            e.unpersist()
+            return res
 
     verts = vertices_of(e).persist(StorageLevel.MEMORY_AND_DISK)
     labels = verts.select("id", F.col("id").alias("label"))
