@@ -260,22 +260,29 @@ def pagerank(
     norm = e.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("_wsum")).alias("p")
     )
-    # local fast path (see LOCAL_PR_MAX_EDGES). The size probe pins the
+    # local fast path (see LOCAL_PR_MAX_EDGES). The size probe caches the
     # transition table and counts it (one job); a fall-through to the
-    # distributed loop reuses the pinned table, so the probe never
-    # recomputes the normalization. The vertex universe is not
-    # materialized at all on the local path — the kernel derives it from
-    # the edge endpoints (+ the optional `vertices` marker rows).
+    # distributed loop reuses the cache for its one repartition pass and
+    # releases it right after materializing norm_edges, so the probe
+    # never recomputes the normalization and never doubles edge storage
+    # for the rest of the run. The vertex universe is not materialized
+    # at all on the local path — the kernel derives it from the edge
+    # endpoints (+ the optional `vertices` marker rows).
     if strategy == "local" and run_dir is not None:
         raise ValueError(
             "strategy='local' is incompatible with run_dir checkpointing; "
             "use the distributed loop for resumable runs"
         )
+    probe_cache = None
     if run_dir is None and strategy in ("auto", "local"):
-        pinned = norm.localCheckpoint(eager=False)
-        if strategy == "local" or pinned.count() <= LOCAL_PR_MAX_EDGES:
-            return _local_pagerank(vertices, pinned, alpha, tol, max_iter)
-        norm = pinned
+        probe_cache = norm.persist(StorageLevel.MEMORY_AND_DISK)
+        if strategy == "local" or probe_cache.count() <= LOCAL_PR_MAX_EDGES:
+            # the kernel's output is materialized eagerly inside, so the
+            # input cache can be dropped before returning
+            res = _local_pagerank(vertices, probe_cache, alpha, tol, max_iter)
+            probe_cache.unpersist()
+            return res
+        norm = probe_cache
 
     verts = vertices_of(e)
     if vertices is not None:
@@ -317,6 +324,8 @@ def pagerank(
         raise ValueError(f"unknown strategy: {strategy}")
     norm_edges = norm_edges.persist(StorageLevel.MEMORY_AND_DISK)
     norm_edges.count()  # materialize once
+    if probe_cache is not None:
+        probe_cache.unpersist()  # norm_edges now carries the edge data
     if strategy == "blocked":
         rt = (
             norm_edges.select("bj", F.col("src").alias("id"))
