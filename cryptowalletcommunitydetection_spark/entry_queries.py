@@ -287,13 +287,6 @@ def q_semi_join_agg(spark, sf_dir):
     )
 
 
-def q_anti_join(spark, sf_dir):
-    """J3: customers that never ordered."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return cust.join(orders, "c_custkey", "left_anti").select("c_custkey")
 
 
 def q_top1_per_group(spark, sf_dir):
@@ -425,6 +418,18 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs contract (the
+    dedup-family member over the embedding column). threshold=0.4 is
+    calibrated to the synthetic embeddings (max pairwise cosine ≈ 0.51
+    at sf0.01, nearest pair-to-threshold margin ≈ 1.3e-4 — far above
+    f32/f64 evaluation-order noise, so Spark and DuckDB agree on the
+    exact pair set). The banded-LSH scale path's precision/recall
+    properties are bound by tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dups(emb, threshold=0.4, method="exact").select("a", "b")
+
+
 # ------------------------------------- wider operator coverage (SURVEY §2)
 
 def q_collect_set_agg(spark, sf_dir):
@@ -454,13 +459,20 @@ def q_window_rank_lag(spark, sf_dir):
 
 
 def q_set_ops(spark, sf_dir):
-    """X3/X5: union / intersect / except between key sets."""
+    """X3/X5 union / intersect / except between key sets, plus J3
+    anti-join (customers that never ordered, as a left_anti count —
+    absorbed here from the former stand-alone anti_join gate, whose
+    0-row result was vacuous)."""
     cust = _t(spark, sf_dir, "customer")
     bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     ordered = (
         _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct()
     )
     rows = [
+        cust.select("c_custkey")
+        .join(ordered, "c_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("customers_never_ordered").alias("op"), "n"),
         bld.intersect(ordered).agg(F.count(F.lit(1)).alias("n")).select(
             F.lit("building_with_orders").alias("op"), "n"
         ),
@@ -1151,12 +1163,14 @@ def q_lsh_recall(spark, sf_dir):
 # regexp_allowlist and adds F10+F15; doc_stats covers token_count/
 # lang_detect; simhash_near_dups' oracle recomputes the signatures that
 # simhash_sigs checked; pagerank_resume checks straight-6 equality,
-# covering the fixed-iteration semantics pagerank_fixed12 did).
+# covering the fixed-iteration semantics pagerank_fixed12 did;
+# round 3: the vacuous 0-row anti_join gate folded into set_ops as a
+# left_anti count row, freeing the slot for cosine_near_dups — the
+# embedding-cosine member of the dedup family).
 QUERIES = {
     # relational + scalar surface (SURVEY §2.1-2.7), sub-second each
     "filter_project_distinct": q_filter_project_distinct,
     "semi_join_agg": q_semi_join_agg,
-    "anti_join": q_anti_join,
     "top1_per_group": q_top1_per_group,
     "group_agg": q_group_agg,
     "asof_last": q_asof_last,
@@ -1187,6 +1201,7 @@ QUERIES = {
     "explode_tokens": q_explode_tokens,
     "csv_wallet_pairs": q_csv_wallet_pairs,
     # sketches / ANN / text (1-4s)
+    "cosine_near_dups": q_cosine_near_dups,
     "ivf_topk": q_ivf_topk,
     "triangles_per_vertex": q_triangles,
     "minhash_candidates": q_minhash_candidates,
@@ -1442,6 +1457,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     "set_ops": """
 WITH bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
 ord AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+SELECT 'customers_never_ordered' AS op,
+       (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM ord)) AS n
+UNION ALL
 SELECT 'building_with_orders' AS op, (SELECT count(*) FROM (SELECT * FROM bld INTERSECT SELECT * FROM ord)) AS n
 UNION ALL
 SELECT 'building_never_ordered', (SELECT count(*) FROM (SELECT * FROM bld EXCEPT SELECT * FROM ord))
@@ -1533,9 +1551,10 @@ SELECT o_orderpriority, count(*) AS n_orders FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY o_orderpriority
 """,
-    "anti_join": """
-SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    "cosine_near_dups": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """,
     "top1_per_group": """
 SELECT o_custkey, o_orderkey, o_totalprice FROM (

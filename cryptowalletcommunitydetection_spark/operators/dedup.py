@@ -146,24 +146,29 @@ def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
             .select("a", "b")
             .distinct()
         )
-    sizes = banded.groupBy("band", "bh").agg(
-        F.count(F.lit(1)).alias("_n"), F.min("_id").alias("_rep")
+    # Tag each row with its bucket size + representative through ONE
+    # window shuffle on (band, bh), so the three consumers below (small
+    # self-join left/right, big star) all hang off the same exchange —
+    # a groupBy-sizes + join formulation re-derives ``banded`` (often an
+    # expensive signature projection) once per consumer instead. The
+    # window work per bucket is linear (count + min), so a degenerate
+    # bucket costs k, not k².
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bh")
+    tagged = banded.select(
+        "_id", "band", "bh",
+        F.count(F.lit(1)).over(w).alias("_n"),
+        F.min("_id").over(w).alias("_rep"),
     )
-    small = banded.join(
-        sizes.filter(F.col("_n") <= max_bucket).select("band", "bh"),
-        ["band", "bh"], "left_semi",
-    )
+    small = tagged.filter(F.col("_n") <= max_bucket)
     l = small.select(F.col("_id").alias("a"), "band", "bh")
     r = small.select(F.col("_id").alias("b"), "band", "bh")
     small_pairs = (
         l.join(r, ["band", "bh"]).filter(F.col("a") < F.col("b")).select("a", "b")
     )
     big_pairs = (
-        banded.join(
-            sizes.filter(F.col("_n") > max_bucket).select("band", "bh", "_rep"),
-            ["band", "bh"],
-        )
-        .filter(F.col("_id") != F.col("_rep"))
+        tagged.filter((F.col("_n") > max_bucket) & (F.col("_id") != F.col("_rep")))
         .select(
             F.least("_rep", "_id").alias("a"), F.greatest("_rep", "_id").alias("b")
         )

@@ -11,6 +11,11 @@
 - ``ivf_topk``: IVF-style coarse quantizer — assign vectors to the
   nearest of k centroids (a broadcast dim table), probe the ``nprobe``
   nearest centroids per query.
+- ``cosine_near_dups``: embedding-cosine near-duplicate *pairs* — the
+  dedup-family member over the embedding column. ``method="exact"`` is
+  the all-pairs baseline (and the oracle contract); ``method="lsh"``
+  buckets by per-band hyperplane sign signatures and exact-verifies
+  only in-bucket candidates (precision 1, recall < 1 by construction).
 
 Hyperplanes/centroids are deterministic (seeded numpy) and broadcast —
 tiny dimension tables, never a shuffle of the big side beyond the final
@@ -252,3 +257,108 @@ def ivf_topk(
     )
     wk = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    bands: int = 8,
+    planes: int = 8,
+    dim: int | None = None,
+    max_bucket: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: DataFrame[a, b] with
+    a < b and cosine(a, b) >= ``threshold``.
+
+    The dedup-family member over an embedding column (the vector
+    analogue of minhash_lsh_candidates + verify_exact_jaccard in
+    operators/dedup.py; reference analogue: the wallet-pair similarity
+    grouping in services/wallet_clustering.py).
+
+    ``method="exact"``: all-pairs enumeration — O(n²) nested-loop join,
+    documented correctness baseline and the oracle-gate contract only.
+
+    ``method="lsh"``: the scale path. ``bands`` independent
+    random-hyperplane signature tables (seeded ``seed + band``); vectors
+    sharing any band's full sign signature become candidates, candidates
+    are exact-cosine verified. Precision is exactly 1 (every emitted
+    pair is verified); recall < 1 by construction — a >=threshold pair
+    whose signs differ in every band is missed. Per-band collision
+    probability for angle θ is (1 - θ/π)^planes, so raise ``bands`` /
+    lower ``planes`` to trade candidate volume for recall.
+
+    ``max_bucket`` defaults ON (1000), reusing the dedup family's
+    representative-chaining cap (operators/dedup.py:_banded_pairs): a
+    degenerate bucket of k near-identical vectors emits k rows, not k²,
+    preserving the duplicate-group *closure* under connected components
+    — but capped buckets' star pairs are verified against the
+    representative only, so (like simhash_near_dups) the capped output
+    is exhaustive for duplicate groups, not for every individual
+    near-pair. Pass ``max_bucket=None`` for exhaustive in-bucket
+    enumeration.
+    """
+    from .dedup import _banded_pairs  # shared bucket-cap machinery
+
+    # stage unit-normalized vectors once per row (double); pair work is
+    # then a single dot product instead of dot + two norm folds per pair
+    staged = vectors.select(
+        F.col(id_col).alias("_id0"),
+        F.col(vec_col).alias("_v0"),
+        _norm(F.col(vec_col)).alias("_n0"),
+    ).select(
+        "_id0",
+        F.transform("_v0", lambda x: x.cast("double") / F.col("_n0")).alias("_u0"),
+    )
+    va = staged.select(F.col("_id0").alias("a"), F.col("_u0").alias("_va"))
+    vb = staged.select(F.col("_id0").alias("b"), F.col("_u0").alias("_vb"))
+    if method == "exact":
+        pairs = va.join(vb, F.col("a") < F.col("b"))
+        return pairs.select(
+            "a", "b", _dot(F.col("_va"), F.col("_vb")).alias("cos")
+        ).filter(F.col("cos") >= threshold)
+    if method != "lsh":
+        raise ValueError(f"unknown method: {method}")
+    if dim is None:
+        row = vectors.select(vec_col).first()
+        dim = len(row[0]) if row is not None else 1
+    # all bands' hyperplanes ride as DATA in a broadcast 1-row dim table
+    # (array<array<double>>, bands*planes rows of dim floats) — a literal
+    # expression tree of bands*planes*dim nodes would dominate analysis/
+    # codegen time, and the signature computation stays one transform()
+    hp_nested = [
+        _hyperplanes(dim, planes, seed + band)[p]
+        for band in range(bands)
+        for p in range(planes)
+    ]
+    spark = vectors.sparkSession
+    hp_df = F.broadcast(
+        spark.createDataFrame([(hp_nested,)], "_hp array<array<double>>")
+    )
+    dots = F.transform("_hp", lambda h: _dot(F.col(vec_col), h))
+    sigs = []
+    for band in range(bands):
+        sigs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                _sig_from_dots(
+                    F.slice(F.col("_dots"), band * planes + 1, planes), planes
+                ).alias("bh"),
+            )
+        )
+    banded = (
+        vectors.crossJoin(hp_df)
+        .select(F.col(id_col).alias("_id"), dots.alias("_dots"))
+        .select("_id", F.explode(F.array(*sigs)).alias("bb"))
+        .select("_id", "bb.band", "bb.bh")
+    )
+    cand = _banded_pairs(banded, max_bucket)
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", _dot(F.col("_va"), F.col("_vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

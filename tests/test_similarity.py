@@ -117,3 +117,77 @@ def test_lsh_multiprobe_lifts_recall(spark, clustered):
     assert max(r4, r16) >= 0.9 - 1e-9, (r1, r4, r16)
     assert r1 < max(r4, r16), (r1, r4, r16)
     assert r4 <= r16 + 1e-9  # more probes never hurt recall
+
+
+def test_cosine_near_dups_exact_vs_numpy(spark, vectors):
+    """Exact all-pairs path reproduces the numpy pair enumeration."""
+    vp = vectors.select("vec_id", "embedding").toPandas()
+    v = np.array(vp["embedding"].tolist())
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = vn @ vn.T
+    ids = vp["vec_id"].tolist()
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.4
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in S.cosine_near_dups(vectors, threshold=0.4, method="exact").collect()
+    }
+    assert got == want
+
+
+def test_cosine_near_dups_lsh_precision_and_recall(spark, clustered):
+    """LSH path: precision exactly 1 (every emitted pair verified) and
+    high recall on the planted-cluster fixture where in-cluster pairs
+    sit far above threshold."""
+    exact = {
+        (r["a"], r["b"])
+        for r in S.cosine_near_dups(clustered, threshold=0.9, method="exact").collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in S.cosine_near_dups(
+            clustered, threshold=0.9, method="lsh", bands=16, planes=4, dim=16
+        ).collect()
+    }
+    assert got <= exact  # precision == 1
+    assert len(got & exact) / max(len(exact), 1) >= 0.95, (len(got), len(exact))
+
+
+def test_cosine_near_dups_bucket_cap_preserves_group_closure(spark):
+    """max_bucket star-chaining: a degenerate bucket of identical vectors
+    emits k rows, not k², but the duplicate-group closure under
+    connected components is unchanged."""
+    import itertools
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(40)]  # one dup group
+    rows += [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = S.cosine_near_dups(
+        df, threshold=0.999, method="lsh", bands=4, planes=4, dim=4, max_bucket=5
+    ).collect()
+    # star rows only: far fewer than the 40*39/2 enumeration
+    assert len(capped) < 40 * 39 // 2
+
+    def closure(pairs):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for x in list(parent):
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    uncapped = S.cosine_near_dups(
+        df, threshold=0.999, method="lsh", bands=4, planes=4, dim=4, max_bucket=None
+    ).collect()
+    assert closure({(r["a"], r["b"]) for r in capped}) == closure(
+        {(r["a"], r["b"]) for r in uncapped}
+    )
