@@ -46,7 +46,10 @@ the same physical-strategy principle as the CC union-find fast path
 transition table fits one executor comfortably, ~100 supersteps of pure
 job-scheduling latency (~400 ms each in local mode) dwarf the O(E) work
 per iteration (a 1.2M-row scatter/gather is ~5 ms in numpy). Measured
-crossover in BENCH/BASELINE.md. The distributed loop still covers
+crossover (BENCH/BASELINE.md, 20-superstep walls, local[32]): local
+wins 1.9x at 2M normalized rows, loses 0.61x at 8M — 4M is the
+bracketed midpoint, and also the memory-safe bound for one executor
+(~200 MB edge index + key table). The distributed loop still covers
 ``run_dir`` checkpointing and everything above the gate;
 ``strategy="broadcast"/"copartition"/"blocked"`` forces it. Parity
 between the two paths is within float64 summation-order noise (≪ the
