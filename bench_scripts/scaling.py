@@ -96,6 +96,54 @@ print("RESULT " + json.dumps({{
 """
 
 
+FILES_CHILD = r"""
+import json, statistics, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from cryptowalletcommunitydetection_spark import build_session
+from cryptowalletcommunitydetection_spark.datagen import gen_files_distributed
+from cryptowalletcommunitydetection_spark.graph.edges import derive_edges
+from cryptowalletcommunitydetection_spark.graph.pagerank import pagerank
+
+cpus, n_files, steps, repeats = {cpus}, {n_files}, {steps}, {repeats}
+spark = build_session(app_name=f"scaling-files-{{cpus}}", master=f"local[{{cpus}}]",
+                      shuffle_partitions=cpus)
+files = gen_files_distributed(spark, n_files=n_files, n_repos=n_files // 20,
+                              n_entities=50_000)
+# derivation throughput: full re-derivation per repeat (no cache reuse —
+# each count() recomputes the mapInPandas extraction + co-occurrence agg)
+d_walls = []
+for _ in range(repeats):
+    t0 = time.monotonic()
+    derive_edges(files).count()
+    d_walls.append(time.monotonic() - t0)
+d_best = min(d_walls)
+# superstep throughput on the derived table (the north metric's kernel);
+# persist once — the measured walls are per-superstep, post-derivation
+ce = derive_edges(files).persist()
+n = ce.count()
+meds = []
+for _ in range(repeats):
+    # forced distributed kernel: the scaling claim is about the path a
+    # >LOCAL_PR_MAX_EDGES graph takes (at 200k files the derived table is
+    # ~33M edges and auto picks it anyway; forcing keeps smaller smoke
+    # runs honest instead of silently measuring the single-task kernel)
+    res = pagerank(spark, ce, tol=0.0, max_iter=steps, weighted=True,
+                   strategy="broadcast")
+    meds.append(statistics.median(m["wall_ms"] / 1e3 for m in res.metrics))
+best = min(meds)
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "n_files": n_files, "n_edges": n, "supersteps": steps,
+    "derive_walls": [round(w, 2) for w in d_walls],
+    "derive_best_sec": round(d_best, 3),
+    "files_per_sec": n_files / d_best,
+    "median_superstep_sec": round(best, 3),
+    "medians_per_repeat": [round(m, 3) for m in meds],
+    "throughput": (2 * n) / best,
+}}))
+"""
+
+
 SKEW_CHILD = r"""
 import json, statistics, sys, time
 sys.path.insert(0, {repo!r})
@@ -148,7 +196,9 @@ def run_child(code: str) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["synth", "sf", "both", "skew"], default="synth")
+    ap.add_argument("--mode", choices=["synth", "sf", "both", "skew", "files"],
+                    default="synth")
+    ap.add_argument("--n-files", type=int, default=200_000)
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--vertices", type=int, default=2_000_000)
@@ -211,6 +261,40 @@ coordination dominates compute, so local-mode thread scaling understates
 cluster data-parallel scaling — the synthetic dense-graph section above
 is the scaling-efficiency evidence; this section documents the absolute
 convergence kernel at SF scale.
+""")
+
+    if args.mode == "files":
+        lo = run_child(FILES_CHILD.format(
+            repo=REPO, cpus=args.low, n_files=args.n_files,
+            steps=args.steps, repeats=args.repeats))
+        hi = run_child(FILES_CHILD.format(
+            repo=REPO, cpus=args.high, n_files=args.n_files,
+            steps=args.steps, repeats=args.repeats))
+        eff = (hi["throughput"] / lo["throughput"]) / (args.high / args.low)
+        d_eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (args.high / args.low)
+        result["files"] = {"efficiency": eff, "derive_efficiency": d_eff,
+                           "low": lo, "high": hi}
+        sections.append(f"""
+## Scaling run — files-derived edge table (the north-rule input path), {args.n_files:,} files
+
+The full pipeline the north rule names, at two parallelism levels on
+identical input: files table (repo, path, commit, lang, content)
+generated distributively -> real mapInPandas regex entity extraction ->
+within-repo co-occurrence edge table -> PageRank weighted supersteps
+(distributed broadcast kernel forced — the >LOCAL_PR_MAX_EDGES path;
+fixed {lo['supersteps']}, x {args.repeats} repeats per level in one JVM,
+MIN of per-repeat median superstep walls). Derivation throughput is a
+full uncached re-derivation per repeat (min of {args.repeats}).
+Sandbox proxy for N vs 4N executors: local[{args.low}] vs local[{args.high}].
+
+| config | files/s (derivation) | derived canonical edges | best median superstep (s) | medians per repeat (s) | throughput (edges/s/superstep) |
+|---|---|---|---|---|---|
+| local[{args.low}] | {lo['files_per_sec']:.0f} {lo['derive_walls']} | {lo['n_edges']:,} | {lo['median_superstep_sec']} | {lo['medians_per_repeat']} | {lo['throughput']:.0f} |
+| local[{args.high}] | {hi['files_per_sec']:.0f} {hi['derive_walls']} | {hi['n_edges']:,} | {hi['median_superstep_sec']} | {hi['medians_per_repeat']} | {hi['throughput']:.0f} |
+
+superstep throughput ratio = {hi['throughput'] / lo['throughput']:.3f}; parallelism ratio = {args.high // args.low};
+**scaling efficiency = {eff:.3f}** (criterion: >= 0.8).
+Derivation (mapInPandas extraction) scaling efficiency = {d_eff:.3f}.
 """)
 
     if args.mode == "skew":
