@@ -105,6 +105,17 @@ from cryptowalletcommunitydetection_spark.datagen import gen_files_distributed
 from cryptowalletcommunitydetection_spark.graph.edges import derive_edges
 from cryptowalletcommunitydetection_spark.graph.pagerank import pagerank
 
+
+def steal_jiffies():
+    # /proc/stat cpu line, field 8 (steal) — hypervisor-withheld time.
+    # This sandbox is a shared-host microVM with bursty steal (~10-15%
+    # averaged, far higher inside a burst); per-repeat steal deltas let
+    # the parent discard contaminated measurement windows instead of
+    # publishing a wall that mostly measures a neighbor tenant.
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
 cpus, n_files, steps, repeats = {cpus}, {n_files}, {steps}, {repeats}
 spark = build_session(app_name=f"scaling-files-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=cpus)
@@ -112,33 +123,38 @@ files = gen_files_distributed(spark, n_files=n_files, n_repos=n_files // 20,
                               n_entities=50_000)
 # derivation throughput: full re-derivation per repeat (no cache reuse —
 # each count() recomputes the mapInPandas extraction + co-occurrence agg)
-d_walls = []
+d_walls, d_steals = [], []
 for _ in range(repeats):
-    t0 = time.monotonic()
+    s0, t0 = steal_jiffies(), time.monotonic()
     derive_edges(files).count()
     d_walls.append(time.monotonic() - t0)
+    d_steals.append(steal_jiffies() - s0)
 d_best = min(d_walls)
 # superstep throughput on the derived table (the north metric's kernel);
 # persist once — the measured walls are per-superstep, post-derivation
 ce = derive_edges(files).persist()
 n = ce.count()
-meds = []
+meds, p_steals = [], []
 for _ in range(repeats):
     # forced distributed kernel: the scaling claim is about the path a
     # >LOCAL_PR_MAX_EDGES graph takes (at 200k files the derived table is
     # ~33M edges and auto picks it anyway; forcing keeps smaller smoke
     # runs honest instead of silently measuring the single-task kernel)
+    s0 = steal_jiffies()
     res = pagerank(spark, ce, tol=0.0, max_iter=steps, weighted=True,
                    strategy="broadcast")
     meds.append(statistics.median(m["wall_ms"] / 1e3 for m in res.metrics))
+    p_steals.append(steal_jiffies() - s0)
 best = min(meds)
 print("RESULT " + json.dumps({{
     "cpus": cpus, "n_files": n_files, "n_edges": n, "supersteps": steps,
     "derive_walls": [round(w, 2) for w in d_walls],
+    "derive_steal_jiffies": d_steals,
     "derive_best_sec": round(d_best, 3),
     "files_per_sec": n_files / d_best,
     "median_superstep_sec": round(best, 3),
     "medians_per_repeat": [round(m, 3) for m in meds],
+    "pagerank_steal_jiffies": p_steals,
     "throughput": (2 * n) / best,
 }}))
 """
@@ -199,6 +215,8 @@ def main():
     ap.add_argument("--mode", choices=["synth", "sf", "both", "skew", "files"],
                     default="synth")
     ap.add_argument("--n-files", type=int, default=200_000)
+    ap.add_argument("--passes", type=int, default=2,
+                    help="interleaved low/high child passes (files mode)")
     ap.add_argument("--gamma", type=int, default=4)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--vertices", type=int, default=2_000_000)
@@ -264,16 +282,30 @@ convergence kernel at SF scale.
 """)
 
     if args.mode == "files":
-        lo = run_child(FILES_CHILD.format(
-            repo=REPO, cpus=args.low, n_files=args.n_files,
-            steps=args.steps, repeats=args.repeats))
-        hi = run_child(FILES_CHILD.format(
-            repo=REPO, cpus=args.high, n_files=args.n_files,
-            steps=args.steps, repeats=args.repeats))
+        # Interleaved A/B/A/B child runs: host-level CPU-steal bursts on
+        # this shared microVM can last longer than one whole child (the
+        # first files-mode run measured local[32] 3x slower than an
+        # identical run minutes later), so a single child per level can
+        # publish a wall that is mostly neighbor-tenant noise. Running
+        # low/high alternately and keeping the best child per level bounds
+        # the damage to one interleave slot; per-repeat steal jiffies are
+        # recorded so a contaminated slot is visible in the output.
+        runs = {"low": [], "high": []}
+        for _ in range(args.passes):
+            runs["low"].append(run_child(FILES_CHILD.format(
+                repo=REPO, cpus=args.low, n_files=args.n_files,
+                steps=args.steps, repeats=args.repeats)))
+            runs["high"].append(run_child(FILES_CHILD.format(
+                repo=REPO, cpus=args.high, n_files=args.n_files,
+                steps=args.steps, repeats=args.repeats)))
+        lo = max(runs["low"], key=lambda r: r["throughput"])
+        hi = max(runs["high"], key=lambda r: r["throughput"])
+        lo["files_per_sec"] = max(r["files_per_sec"] for r in runs["low"])
+        hi["files_per_sec"] = max(r["files_per_sec"] for r in runs["high"])
         eff = (hi["throughput"] / lo["throughput"]) / (args.high / args.low)
         d_eff = (hi["files_per_sec"] / lo["files_per_sec"]) / (args.high / args.low)
         result["files"] = {"efficiency": eff, "derive_efficiency": d_eff,
-                           "low": lo, "high": hi}
+                           "low": lo, "high": hi, "all_runs": runs}
         sections.append(f"""
 ## Scaling run — files-derived edge table (the north-rule input path), {args.n_files:,} files
 
@@ -286,6 +318,13 @@ fixed {lo['supersteps']}, x {args.repeats} repeats per level in one JVM,
 MIN of per-repeat median superstep walls). Derivation throughput is a
 full uncached re-derivation per repeat (min of {args.repeats}).
 Sandbox proxy for N vs 4N executors: local[{args.low}] vs local[{args.high}].
+Contention protocol: {args.passes} interleaved low/high child JVMs per
+level (best child kept), per-repeat hypervisor steal jiffies recorded —
+this shared-host microVM shows bursty CPU steal that can span a whole
+child, so single-shot level measurements are not trustworthy here.
+Kept-child steal per repeat: low {lo['pagerank_steal_jiffies']},
+high {hi['pagerank_steal_jiffies']} (derive:
+{lo['derive_steal_jiffies']} / {hi['derive_steal_jiffies']}).
 
 | config | files/s (derivation) | derived canonical edges | best median superstep (s) | medians per repeat (s) | throughput (edges/s/superstep) |
 |---|---|---|---|---|---|
