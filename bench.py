@@ -41,11 +41,25 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     )
 
     timings: dict[str, float] = {}
+    steals: dict[str, int] = {}
+
+    def _steal() -> int:
+        # /proc/stat cpu line field 8: hypervisor steal jiffies. This
+        # sandbox is a shared-host microVM with bursty steal; recording
+        # the per-query delta makes a contaminated one-shot run visible
+        # (a wall with thousands of steal jiffies measured the neighbor
+        # tenant, not this engine). 0 on platforms without the field.
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
 
     def timed(name, fn):
-        t0 = time.monotonic()
+        s0, t0 = _steal(), time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        steals[name] = _steal() - s0
         return out
 
     # headline: derive the SF-scaling bipartite edge table once, persist,
@@ -64,10 +78,11 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
 
     # headline: the engine's default (adaptive) strategy — below
     # LOCAL_PR_MAX_EDGES this is the single-task vectorized kernel
-    t0 = time.monotonic()
+    s0, t0 = _steal(), time.monotonic()
     res = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100)
     pr_wall = time.monotonic() - t0
     timings["pagerank_1e6"] = round(pr_wall, 3)
+    steals["pagerank_1e6"] = _steal() - s0
     # directed edge traversals per superstep = 2x canonical edges
     edges_per_sec = (2 * n_edges * res.supersteps) / pr_wall if pr_wall else 0.0
 
@@ -75,10 +90,11 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # the r01/r02 trend line stays comparable and the north metric is
     # evidenced on the path a >LOCAL_PR_MAX_EDGES graph actually runs
     # (scaling.py benches it at 96M edges for the efficiency criterion)
-    t0 = time.monotonic()
+    s0, t0 = _steal(), time.monotonic()
     res_d = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100,
                      strategy="broadcast")
     prd_wall = time.monotonic() - t0
+    steals["pagerank_distributed"] = _steal() - s0
     edges_per_sec_d = (
         (2 * n_edges * res_d.supersteps) / prd_wall if prd_wall else 0.0
     )
@@ -122,16 +138,21 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     files = gen_files_distributed(
         spark, n_files=n_files, n_repos=10_000, n_entities=50_000
     )
-    t0 = time.monotonic()
+    s0, t0 = _steal(), time.monotonic()
     n_derived = derive_edges(files).count()
     files_wall = round(time.monotonic() - t0, 3)  # reported separately —
     # not part of the headline total (different workload axis)
+    steals["files_pipeline"] = _steal() - s0
 
     return {
         "metric": "headline_queries_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "steal_jiffies": steals,  # hypervisor steal per measurement window
+        # (shared-host microVM; >> ~100/s of wall means the wall measured
+        # a neighbor tenant — compare against the fresh-JVM repeats in
+        # BENCH/BASELINE.md before reading a slow number as a regression)
         "sf": sf_dir,
         "cpus": cpus,
         "pagerank": {

@@ -64,6 +64,21 @@ class PageRankResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _decode_ranks(ranks: DataFrame, vdict: DataFrame | None) -> DataFrame:
+    """Map vid-space ranks back to original keys (see _encode block in
+    ``pagerank``). Rank values are unchanged by the bijective re-keying.
+    Pinned eagerly so the persisted dict can be released immediately
+    (same lifecycle as graph/cc.py::_decode_labels)."""
+    if vdict is None:
+        return ranks
+    out = ranks.join(vdict, ranks.id == vdict.vid).select(
+        F.col("key").alias("id"), "rank"
+    )
+    out = out.localCheckpoint(eager=True)
+    vdict.unpersist()
+    return out
+
+
 def _local_pagerank(
     vertices: DataFrame | None,
     norm: DataFrame,
@@ -207,6 +222,7 @@ def pagerank(
     strategy: str = "auto",
     num_partitions: int | None = None,
     adaptive_supersteps: bool | None = None,
+    encode: bool | None = None,
 ) -> PageRankResult:
     """Iterative PageRank. ``edges``: src, dst [, weight].
 
@@ -245,6 +261,12 @@ def pagerank(
       shuffling routed ranks instead of the message stream is the
       difference; never chosen by "auto".
     - "auto": broadcast while |V| ≤ 2M, else copartition.
+
+    ``encode``: int64 re-keying of string vertex ids for the distributed
+    loop (None = auto: on for string keys). See the inline block below —
+    measured ~4x on the superstep's join+gather stage, and required for
+    core-count scaling on string-keyed graphs; results are decoded back
+    to the original keys, values identical up to float summation order.
     """
     has_w = weighted and "weight" in edges.columns
     if directed:
@@ -287,13 +309,57 @@ def pagerank(
             return res
         norm = probe_cache
 
-    verts = vertices_of(e)
-    if vertices is not None:
-        verts = verts.unionByName(vertices.select("id")).distinct()
+    # Int64 re-keying for the distributed loop (same mechanics as
+    # graph/cc.py::_encode_keys; default ON for string keys). Every
+    # superstep probes a broadcast HashedRelation and hash-aggregates on
+    # the vertex key; with string keys that stage measured ~9M rows/s on
+    # the 65M-row files-derived co-occurrence graph AND stopped scaling
+    # with cores (UTF8String probe + allocation pressure), while int64
+    # keys take Spark's dense LongHashedRelation / long hash-agg fast
+    # paths: 2.1-2.8s vs 9-14s for the same join+gather at local[32]
+    # (BENCH/BASELINE.md round-3 section). xxhash64(seed 42) is
+    # deterministic, so run_dir resumes re-derive the same vids; a
+    # detected 64-bit collision falls back to original keys (rank values
+    # under a collision would silently merge vertices). Encoding changes
+    # the manifest's input identity hash, so pre-encoding run_dirs start
+    # fresh rather than resuming inconsistently.
+    from pyspark.sql.types import StringType
+
+    vdict = None
+    is_string = isinstance(e.schema["src"].dataType, StringType)
+    if encode is None:
+        encode = is_string
+    if encode and is_string:
+        keys = vertices_of(e)
+        if vertices is not None:
+            keys = keys.unionByName(vertices.select("id")).distinct()
+        vdict = keys.select(
+            F.xxhash64(F.col("id"), F.lit(42)).alias("vid"),
+            F.col("id").alias("key"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        chk = vdict.agg(
+            F.count(F.lit(1)).alias("nk"), F.countDistinct("vid").alias("nv")
+        ).collect()[0]
+        if chk["nk"] != chk["nv"]:
+            vdict.unpersist()
+            vdict = None
+        else:
+            norm = norm.select(
+                F.xxhash64(F.col("src"), F.lit(42)).alias("src"),
+                F.xxhash64(F.col("dst"), F.lit(42)).alias("dst"),
+                "p",
+            )
+
+    if vdict is not None:
+        verts = vdict.select(F.col("vid").alias("id"))  # incl. marker-only ids
+    else:
+        verts = vertices_of(e)
+        if vertices is not None:
+            verts = verts.unionByName(vertices.select("id")).distinct()
     verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
     n = verts.count()
     if n == 0:
-        empty = verts.select("id", F.lit(0.0).alias("rank"))
+        empty = _decode_ranks(verts.select("id", F.lit(0.0).alias("rank")), vdict)
         verts.unpersist()
         return PageRankResult(empty, 0, True)
 
@@ -408,7 +474,8 @@ def pagerank(
                     if cached is not None:
                         cached.unpersist()
                 return PageRankResult(
-                    ranks.select("id", "rank"), last + 1, True, manifest.metrics()
+                    _decode_ranks(ranks.select("id", "rank"), vdict),
+                    last + 1, True, manifest.metrics(),
                 )
             # one extra action at resume only: dangling mass of the
             # restored state (steady-state supersteps stay single-action)
@@ -559,4 +626,6 @@ def pagerank(
     if rt is not None:
         rt.unpersist()
     metrics = manifest.metrics() if manifest is not None else local_metrics
-    return PageRankResult(ranks.select("id", "rank"), steps, converged, metrics)
+    return PageRankResult(
+        _decode_ranks(ranks.select("id", "rank"), vdict), steps, converged, metrics
+    )
