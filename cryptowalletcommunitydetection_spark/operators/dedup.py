@@ -107,12 +107,75 @@ def word_shingles(text_col, n: int = 3):
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 64, shingle_n: int = 3, hash_mode: str = "xxhash64",
+    plan: str = "narrow",
 ) -> DataFrame:
     """DataFrame[id, sig array<long>] — per-doc MinHash signature.
 
-    One explode + one groupBy with ``num_hashes`` algebraic min
-    aggregates (map-side combinable → duplicate-heavy corpora don't
-    skew)."""
+    Two physical plans computing IDENTICAL values (same permutation
+    arithmetic over the same distinct-shingle set):
+
+    - "narrow" (default): the shingle array is already materialized
+      per row (array_distinct), so each permutation's min is a per-row
+      ``aggregate`` fold — a pure projection, ZERO shuffle. At 100 TB
+      this is the difference between a map-only stage and shuffling
+      |docs|x|shingles| exploded rows into a 64-aggregate hash agg.
+    - "grouped": the former explode + groupBy formulation (map-side
+      combinable mins). Kept for A/B measurement and for callers whose
+      upstream already produces exploded (id, shingle) rows.
+
+    ``id_col`` is assumed unique per document: the narrow plan emits one
+    row per input row, while the grouped plan silently merged duplicate
+    ids (min over the union of their shingles). Docs with fewer than
+    ``shingle_n`` tokens are dropped by both plans."""
+    if plan == "narrow":
+        # A map-only plan is only as parallel as its input split count: a
+        # single-file local scan would run the whole fold on one task.
+        # Right-size with one round-robin exchange of (id, text) rows —
+        # still far cheaper than the grouped plan's exchange of one row
+        # per SHINGLE — when the scan is narrower than the cluster. At
+        # warehouse scale the scan already has thousands of splits and
+        # this branch never triggers.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        staged = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
+        staged = staged.select(
+            id_col,
+            F.transform(
+                shingle_hashes_from_words(F.col("_w"), shingle_n, hash_mode),
+                lambda h: F.pmod(h, F.lit(_MERSENNE)),
+            ).alias("_sh"),
+        )
+        # one fold over the shingle array per row: acc[i] holds the
+        # running min of permutation i ((2i+1)*h + b_i mod p); a single
+        # aggregate keeps codegen to one loop instead of 64 independent
+        # array_min(transform(...)) scans of the same array
+        bs = F.array(*[
+            F.lit((1_000_003 * (i + 1) + 17) % _MERSENNE)
+            for i in range(num_hashes)
+        ])
+        idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+        sig = F.aggregate(
+            F.col("_sh"),
+            F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes),
+            lambda acc, h: F.zip_with(
+                acc,
+                idx,
+                lambda m, i: F.least(
+                    m,
+                    F.pmod(
+                        (2 * i + 1).cast("long") * h + F.element_at(bs, i + 1),
+                        F.lit(_MERSENNE),
+                    ),
+                ),
+            ),
+        )
+        return (
+            staged.filter(F.size("_sh") >= 1)
+            .select(F.col(id_col), sig.alias("sig"))
+        )
+    if plan != "grouped":
+        raise ValueError(f"unknown plan: {plan}")
     sh = _exploded_shingles(df, id_col, text_col, shingle_n, hash_mode)
     sh = sh.withColumn("h", F.pmod(F.col("h"), F.lit(_MERSENNE)))
     aggs = []
