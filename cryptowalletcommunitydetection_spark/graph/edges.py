@@ -51,16 +51,45 @@ def extract_entities(
     pattern: str = DEFAULT_ENTITY_PATTERN,
     group_cols: tuple[str, str] = ("repo", "commit"),
     content_col: str = "content",
+    engine: str = "arrow",
 ) -> DataFrame:
-    """``files -> (repo, commit, entity)`` via vectorized Arrow extraction.
+    """``files -> (repo, commit, entity)`` via vectorized extraction.
 
     The one genuinely non-relational step (SURVEY.md §2.10): regex entity
-    extraction from source text. Runs as ``mapInPandas`` so the plan
-    shows ArrowEvalPython/MapInPandas, never BatchEvalPython.
+    extraction from source text.
+
+    ``engine="arrow"`` (default, the north-rule path): ``mapInPandas``
+    with pandas ``str.findall`` — the plan shows MapInPandas, never
+    BatchEvalPython, and arbitrary Python post-processing can be added
+    per batch.
+
+    ``engine="jvm"``: ``regexp_extract_all`` + ``explode`` — the whole
+    extraction stays inside whole-stage codegen with zero Python worker
+    round-trips. Semantically identical for this pattern class (inline
+    ``(?m)`` flag, ASCII classes — Java and Python regex agree; a
+    pattern using Python-only syntax like ``(?P<name>)`` must use the
+    arrow engine). Parity between the two engines is pinned by
+    ``tests/test_edges.py``; prefer this engine when the pattern is
+    Java-compatible and no per-batch Python is needed.
     """
     g0, g1 = group_cols
-    rx = re.compile(pattern)
     cols = [g0, g1, content_col]
+
+    if engine == "jvm":
+        return (
+            files.select(
+                g0,
+                g1,
+                F.explode(
+                    F.regexp_extract_all(F.col(content_col), F.lit(pattern), F.lit(1))
+                ).alias("entity"),
+            )
+            .distinct()
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown extraction engine {engine!r}")
+
+    rx = re.compile(pattern)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,9 +200,15 @@ def derive_edges(
     files: DataFrame,
     pattern: str = DEFAULT_ENTITY_PATTERN,
     max_entities_per_group: int | None = 1000,
+    engine: str = "arrow",
 ) -> DataFrame:
-    """files(repo, path, commit, lang, content) -> edges(src, dst, weight)."""
-    ents = extract_entities(files, pattern=pattern)
+    """files(repo, path, commit, lang, content) -> edges(src, dst, weight).
+
+    ``engine`` selects the extraction kernel (see ``extract_entities``):
+    "arrow" is the north-rule mapInPandas path; "jvm" keeps the whole
+    derivation inside whole-stage codegen.
+    """
+    ents = extract_entities(files, pattern=pattern, engine=engine)
     return cooccurrence_edges(ents, max_entities_per_group=max_entities_per_group)
 
 

@@ -57,6 +57,34 @@ def test_extraction_is_arrow_not_per_row_python(spark):
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
 
 
+def test_jvm_extraction_engine_parity(spark):
+    # the codegen regexp_extract_all engine must agree with the Arrow
+    # mapInPandas engine row-for-row (Java vs Python regex semantics
+    # coincide for the default pattern class), and its plan must contain
+    # no Python operator at all
+    pdf = datagen.gen_files_pdf(n_repos=5, files_per_repo=6, n_entities=40)
+    files = spark.createDataFrame(pdf, schema=datagen.FILES_SCHEMA)
+    arrow = {tuple(r) for r in extract_entities(files, engine="arrow").collect()}
+    jvm = {tuple(r) for r in extract_entities(files, engine="jvm").collect()}
+    assert jvm == arrow and len(jvm) > 0
+    plan = (
+        extract_entities(files, engine="jvm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+    e_arrow = {
+        (r["src"], r["dst"]): r["weight"] for r in derive_edges(files).collect()
+    }
+    e_jvm = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in derive_edges(files, engine="jvm").collect()
+    }
+    assert e_jvm == e_arrow
+
+
 def test_canonicalize(spark):
     edges = spark.createDataFrame(
         [(2, 1), (1, 2), (3, 3), (2, 3)], "src long, dst long"
