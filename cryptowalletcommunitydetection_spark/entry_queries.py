@@ -671,13 +671,18 @@ def q_degree_distribution(spark, sf_dir):
 def q_scalar_functions(spark, sf_dir):
     """The scalar-function family in ONE gate row (F2/F3 composite-key
     roundtrip, F5 human amount, F6 percentage, F7 the reference's actual
-    '%b-%d-%Y %I:%M:%S %p' date format, F8 regex allowlist, F10 decimals
-    math, F15 sha256 invariant) — every column an independent
-    value-checked claim over strings built deterministically from the
-    part table."""
+    '%b-%d-%Y %I:%M:%S %p' date format, F8 regex allowlist, F9 snake->
+    camelCase rename, F10 decimals math, F15 sha256 invariant) — every
+    column an independent value-checked claim over strings built
+    deterministically from the part table. F9 is metadata-only, so its
+    check is the gate's SCHEMA compare: the epoch column's name is
+    computed by snake_to_camel("epoch_seconds_utc") on the Spark side
+    and spelled literally in the oracle — a wrong camelization is a
+    schema mismatch."""
     from .functions.scalar import (
         composite_key,
         content_sha256,
+        snake_to_camel,
         parse_datestr_unix,
         parse_human_amount,
         parse_percentage,
@@ -712,7 +717,7 @@ def q_scalar_functions(spark, sf_dir):
         chain.alias("chain"),
         addr.alias("addr"),
         regexp_allowlist(F.concat(F.col("p_name"), F.lit("!?<@#>"))).alias("clean"),
-        parse_datestr_unix(datestr).alias("epoch_s"),
+        parse_datestr_unix(datestr).alias(snake_to_camel("epoch_seconds_utc")),
         F.round(
             token_value_usd("p_partkey", F.col("p_size") % 4, F.lit(1.5)), 9
         ).alias("usd"),
@@ -732,7 +737,7 @@ SELECT p_partkey,
          || '-' || lpad((p_size % 28 + 1)::VARCHAR, 2, '0')
          || '-2024 ' || lpad((p_partkey % 12 + 1)::VARCHAR, 2, '0')
          || ':04:05 ' || (CASE WHEN p_partkey % 2 = 0 THEN 'AM' ELSE 'PM' END),
-         '%b-%d-%Y %I:%M:%S %p')))::BIGINT AS epoch_s,
+         '%b-%d-%Y %I:%M:%S %p')))::BIGINT AS "epochSecondsUtc",
        round(p_partkey / power(10.0, p_size % 4) * 1.5, 9) AS usd,
        sha256(p_name) AS sha
 FROM part

@@ -223,6 +223,7 @@ def pagerank(
     num_partitions: int | None = None,
     adaptive_supersteps: bool | None = None,
     encode: bool | None = None,
+    broadcast_update_join: bool = False,
 ) -> PageRankResult:
     """Iterative PageRank. ``edges``: src, dst [, weight].
 
@@ -569,8 +570,23 @@ def pagerank(
             # join contrib back to the rank table (covers every vertex) and
             # carry the previous rank along — the L1 delta then needs no
             # second |V|⋈|V| join, just a single-stage agg over the
-            # checkpointed result (one fewer shuffle per superstep)
-            new_ranks = ranks.join(contrib, ranks.id == contrib.dst, "left").select(
+            # checkpointed result (one fewer shuffle per superstep).
+            # With AQE off this left join plans as a SortMergeJoin —
+            # an Exchange+Sort of the rank state plus a Sort of contrib
+            # every superstep. Broadcasting contrib instead (it is ≤|V|
+            # rows, the same size as the rank table the scatter join
+            # already broadcasts) makes the superstep shuffle-free, but
+            # measured interleaved A/B at |V|=50k / 16M directed edges,
+            # local[32]: SMJ min-median 0.277 s/superstep vs broadcast
+            # 0.313 s — the per-superstep driver collect+broadcast is
+            # serial and costs what the (parallel, |V|-row) exchange+
+            # sort saves. SMJ stays the default; the hint remains as an
+            # explicit escape hatch for cluster regimes where a driver
+            # round-trip is cheaper than an extra shuffle stage.
+            cside = (
+                F.broadcast(contrib) if broadcast_update_join else contrib
+            )
+            new_ranks = ranks.join(cside, ranks.id == cside.dst, "left").select(
                 ranks.id.alias("id"),
                 (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
                     "rank"

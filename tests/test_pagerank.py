@@ -88,6 +88,22 @@ def test_pagerank_strategies_agree(spark):
         assert max(abs(results[strat][k] - base[k]) for k in base) < 1e-12
 
 
+def test_pagerank_broadcast_update_join_same_result(spark):
+    """The broadcast_update_join escape hatch (rank-update join as a
+    broadcast probe instead of the default SortMergeJoin) changes only
+    the physical plan, never the ranks."""
+    pairs = datagen.erdos_renyi(40, 0.12) + datagen.star(15)
+    edges = datagen.edges_df(spark, pairs)
+    base = pagerank(spark, edges, tol=0.0, strategy="broadcast", max_iter=8)
+    hinted = pagerank(
+        spark, edges, tol=0.0, strategy="broadcast", max_iter=8,
+        broadcast_update_join=True,
+    )
+    b = {r["id"]: r["rank"] for r in base.ranks.collect()}
+    h = {r["id"]: r["rank"] for r in hinted.ranks.collect()}
+    assert max(abs(h[k] - b[k]) for k in b) < 1e-12
+
+
 def test_pagerank_one_spark_job_per_superstep(spark):
     """The dangling-mass sum is fused into the delta aggregate: each
     superstep launches exactly ONE Spark action/job (setup jobs aside).
