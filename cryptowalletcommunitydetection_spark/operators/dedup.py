@@ -170,9 +170,22 @@ def minhash_signatures(
                 ),
             ),
         )
-        return (
-            staged.filter(F.size("_sh") >= 1)
-            .select(F.col(id_col), sig.alias("sig"))
+        # Drop empty-shingle docs with explode-of-0/1-array, NOT a filter:
+        # a Filter whose predicate embeds _sh would be alias-substituted
+        # and pushed below the right-sizing exchange above, evaluating the
+        # whole tokenize+shingle expression a second time — in the
+        # pre-exchange stage, i.e. at the SCAN's parallelism (serial on a
+        # single-split file: measured +2.3s on the sf0.1 candidates
+        # query). Generate is not a predicate, so it stays put: raw
+        # (id, text) rows cross the exchange, and tokenize+fold run once,
+        # post-shuffle, at full parallelism.
+        return staged.select(
+            F.col(id_col),
+            F.explode(
+                F.when(F.size("_sh") >= 1, F.array(sig)).otherwise(
+                    F.array().cast("array<array<long>>")
+                )
+            ).alias("sig"),
         )
     if plan != "grouped":
         raise ValueError(f"unknown plan: {plan}")

@@ -128,3 +128,28 @@ def test_bucketed_edges_skip_shuffle(spark, tmp_path):
         assert "Bucketed: true" in jplan, jplan
     finally:
         spark.sql("DROP TABLE IF EXISTS edges_bucketed_test")
+
+
+def test_minhash_narrow_no_filter_below_exchange(spark):
+    """The narrow MinHash plan's empty-doc drop is a Generate, never a
+    Filter: a Filter over the shingle expression would be pushed below
+    the parallelism-right-sizing exchange and evaluate the whole
+    tokenize+shingle tree a second time at the SCAN's split count
+    (serial on a single-split file). Pin: in the optimized plan the
+    tokenizer expression appears exactly once, and never inside a
+    Filter condition."""
+    from cryptowalletcommunitydetection_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(50)] + [(99, "x")],
+        "doc_id long, text string",
+    ).repartition(1)
+    plan = minhash_signatures(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1, plan
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter", ":- Filter")):
+            assert "regexp_extract_all" not in line, line
+    # and the drop semantics survive: the 1-token doc is gone
+    assert minhash_signatures(docs).count() == 50
