@@ -128,16 +128,13 @@ def minhash_signatures(
     ids (min over the union of their shingles). Docs with fewer than
     ``shingle_n`` tokens are dropped by both plans."""
     if plan == "narrow":
-        # A map-only plan is only as parallel as its input split count: a
-        # single-file local scan would run the whole fold on one task.
-        # Right-size with one round-robin exchange of (id, text) rows —
+        # A map-only plan is only as parallel as its input split count —
+        # right-size with one round-robin exchange of (id, text) rows,
         # still far cheaper than the grouped plan's exchange of one row
-        # per SHINGLE — when the scan is narrower than the cluster. At
-        # warehouse scale the scan already has thousands of splits and
-        # this branch never triggers.
-        par = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
-            df = df.repartition(par)
+        # per SHINGLE. No-op when the scan is already wide enough.
+        from ..session import right_size
+
+        df = right_size(df)
         staged = df.select(F.col(id_col), word_tokens(text_col).alias("_w"))
         staged = staged.select(
             id_col,
@@ -387,6 +384,11 @@ def simhash(
     Output: DataFrame[id, simhash long]. Explode + ``bits`` algebraic
     sums — map-side combinable. Pass hash_mode="md5_52" with bits=52 for
     the DuckDB-reproducible oracle variant."""
+    from ..session import right_size
+
+    # tokenize+explode is a pre-shuffle map: right-size a narrow scan so
+    # it doesn't run on one task (no-op on a wide scan)
+    df = right_size(df)
     toks = df.select(
         F.col(id_col),
         F.explode(

@@ -57,7 +57,12 @@ def brute_force_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Exact cosine top-k: DataFrame[query_id, vec_id, cos, rank]."""
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    from ..session import right_size
+
+    # the scoring projection streams the vectors side of the broadcast
+    # nested-loop join — right-size a narrow scan so the cosines aren't
+    # computed on one task (no-op on a wide scan)
+    v = right_size(vectors).select(F.col(id_col), F.col(vec_col).alias("_v"))
     q = queries.select(F.col(query_id_col), F.col(query_vec_col).alias("_q"))
     scored = q.crossJoin(v).select(
         query_id_col, id_col, cosine(F.col("_q"), F.col("_v")).alias("cos")
@@ -137,7 +142,9 @@ def lsh_topk(
         # result (the probe explode has no input rows)
         dim = len(row[0]) if row is not None else 1
     hp = _hyperplanes(dim, planes, seed)
-    v = vectors.select(
+    from ..session import right_size
+
+    v = right_size(vectors).select(
         F.col(id_col), F.col(vec_col).alias("_v"),
         _plane_dots(F.col(vec_col), hp).alias("_vd"),
     ).select(id_col, "_v", _sig_from_dots(F.col("_vd"), planes).alias("_sig"))
@@ -230,7 +237,9 @@ def ivf_topk(
             [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
         )
     )
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    from ..session import right_size
+
+    v = right_size(vectors).select(F.col(id_col), F.col(vec_col).alias("_v"))
     v_assign = (
         v.crossJoin(cdf)
         .select(id_col, "_v", "cid", cosine(F.col("_v"), F.col("cvec")).alias("_cc"))
@@ -349,8 +358,10 @@ def cosine_near_dups(
                 ).alias("bh"),
             )
         )
+    from ..session import right_size
+
     banded = (
-        vectors.crossJoin(hp_df)
+        right_size(vectors).crossJoin(hp_df)
         .select(F.col(id_col).alias("_id"), dots.alias("_dots"))
         .select("_id", F.explode(F.array(*sigs)).alias("bb"))
         .select("_id", "bb.band", "bb.bh")

@@ -122,8 +122,13 @@ def fingerprint_winnow(
     ).otherwise(empty)
     # materialize grams as a column BEFORE the windowed-min pass: an
     # expression referenced inside a lambda is re-evaluated per element
-    # (O(L^2) hashing); a column reference is evaluated once per row
-    staged = df.select(id_col, grams.alias("_grams"))
+    # (O(L^2) hashing); a column reference is evaluated once per row.
+    # Right-size first: this is a pure projection, so it runs at the
+    # input's split count — one task for a single-file local scan
+    # (measured 2.8s -> 0.8s at sf0.1/local[32]); no-op on a wide scan.
+    from ..session import right_size
+
+    staged = right_size(df).select(id_col, grams.alias("_grams"))
     g = F.col("_grams")
     nw = F.size(g) - F.lit(window - 1)
     mins = F.when(

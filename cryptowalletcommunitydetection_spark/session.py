@@ -53,3 +53,24 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def right_size(df, min_partitions: int | None = None):
+    """Round-robin repartition a DataFrame whose split count is narrower
+    than the cluster, so that a following map-only projection uses every
+    core.
+
+    A per-row stage (MinHash fold, winnowing fingerprint, decode kernel)
+    is only as parallel as its input splits: a single-file local scan
+    would run the whole projection on ONE task. At warehouse scale the
+    scan already has thousands of splits and this is a no-op — the
+    exchange is added only when the input is narrower than
+    ``defaultParallelism``. Callers must keep any expensive-expression
+    FILTER out of the downstream plan (Catalyst pushes filters below
+    this exchange — see operators/dedup.py minhash_signatures for the
+    Generate-based drop pattern).
+    """
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
