@@ -75,6 +75,14 @@ def extract_entities(
     g0, g1 = group_cols
     cols = [g0, g1, content_col]
 
+    # Extraction parallelism equals the input's split count (mapInPandas
+    # and the jvm regexp projection are both map-only): right-size a
+    # narrow scan so a single-split local files table doesn't extract on
+    # one task. No-op at warehouse scale (thousands of splits).
+    from ..session import right_size
+
+    files = right_size(files)
+
     if engine == "jvm":
         return (
             files.select(

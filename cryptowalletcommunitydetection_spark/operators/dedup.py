@@ -219,34 +219,55 @@ def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
             .select("a", "b")
             .distinct()
         )
-    # Tag each row with its bucket size + representative through ONE
-    # window shuffle on (band, bh), so the three consumers below (small
-    # self-join left/right, big star) all hang off the same exchange —
-    # a groupBy-sizes + join formulation re-derives ``banded`` (often an
-    # expensive signature projection) once per consumer instead. The
-    # window work per bucket is linear (count + min), so a degenerate
-    # bucket costs k, not k².
+    # Single-consumption pipeline: ``banded`` is often an expensive
+    # signature projection, and every plan branch that references it
+    # re-evaluates it (a small/big self-join formulation was measured at
+    # 3x the signature cost — exchange reuse does NOT survive AQE's
+    # broadcast conversion of one join side). Instead: ONE window pass
+    # tags each row with its bucket size + representative (linear per
+    # bucket), then a SECOND window materializes the member list — for
+    # small buckets only — and each row emits its own partners from that
+    # array, so pair generation is a projection, not a join. Big-bucket
+    # rows are routed to per-row singleton window keys (their member
+    # list is never collected — a 10M-row degenerate bucket would
+    # otherwise buffer 10M ids per partition) and emit the (rep, member)
+    # star edge instead. The banded stream is computed once and flows
+    # through exactly three exchanges: w1, w2, distinct.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "bh")
+    w1 = Window.partitionBy("band", "bh")
     tagged = banded.select(
         "_id", "band", "bh",
-        F.count(F.lit(1)).over(w).alias("_n"),
-        F.min("_id").over(w).alias("_rep"),
+        (F.count(F.lit(1)).over(w1) <= max_bucket).alias("_small"),
+        F.min("_id").over(w1).alias("_rep"),
+    ).select(
+        "_id", "band", "_small", "_rep",
+        # window-2 key: the true bucket for small rows; a per-row
+        # singleton for big rows (the _small flag in the partition key
+        # makes a big row's hash colliding with a small bucket's bh
+        # harmless — they can never share a window partition)
+        F.when(F.col("_small"), F.col("bh"))
+        .otherwise(F.xxhash64("_id"))
+        .alias("_wk"),
     )
-    small = tagged.filter(F.col("_n") <= max_bucket)
-    l = small.select(F.col("_id").alias("a"), "band", "bh")
-    r = small.select(F.col("_id").alias("b"), "band", "bh")
-    small_pairs = (
-        l.join(r, ["band", "bh"]).filter(F.col("a") < F.col("b")).select("a", "b")
-    )
-    big_pairs = (
-        tagged.filter((F.col("_n") > max_bucket) & (F.col("_id") != F.col("_rep")))
-        .select(
-            F.least("_rep", "_id").alias("a"), F.greatest("_rep", "_id").alias("b")
+    w2 = Window.partitionBy("band", "_small", "_wk")
+    # window expressions can't be referenced inside a higher-order
+    # lambda / explode projection — stage the member array as a column
+    tagged = tagged.withColumn("_members", F.collect_list("_id").over(w2))
+    partners = F.when(
+        F.col("_small"), F.filter(F.col("_members"), lambda x: x > F.col("_id"))
+    ).otherwise(
+        # star edge toward the bucket minimum; the rep row itself emits
+        # nothing (slice(.., 1, 0) is the typed empty array)
+        F.when(F.col("_id") != F.col("_rep"), F.array(F.col("_id"))).otherwise(
+            F.slice(F.array(F.col("_id")), 1, 0)
         )
     )
-    return small_pairs.unionByName(big_pairs).distinct()
+    a = F.when(F.col("_small"), F.col("_id")).otherwise(F.col("_rep"))
+    return (
+        tagged.select(a.alias("a"), F.explode(partners).alias("b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_candidates(

@@ -153,3 +153,23 @@ def test_minhash_narrow_no_filter_below_exchange(spark):
             assert "regexp_extract_all" not in line, line
     # and the drop semantics survive: the 1-token doc is gone
     assert minhash_signatures(docs).count() == 50
+
+
+def test_capped_banded_pairs_single_signature_pass(spark):
+    """The default (capped) LSH candidate plan consumes the signature
+    projection exactly ONCE: the former small/big self-join formulation
+    evaluated it 3x (exchange reuse does not survive AQE's broadcast
+    conversion of a join side), tripling the dominant cost at scale."""
+    from cryptowalletcommunitydetection_spark.operators.dedup import (
+        minhash_lsh_candidates, minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i % 9}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    plan = (
+        minhash_lsh_candidates(minhash_signatures(docs), max_bucket=1000)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("regexp_extract_all") == 1, plan
