@@ -200,7 +200,9 @@ def minhash_signatures(
     )
 
 
-def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+def _banded_pairs(
+    banded: DataFrame, max_bucket: int | None, payload_col: str | None = None
+) -> DataFrame:
     """Candidate pairs from a (_id, band, bh) bucket table.
 
     Buckets of size <= ``max_bucket`` emit all pairs (a < b). Oversized
@@ -209,14 +211,25 @@ def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     *closure* under connected components is identical (every member links
     to the representative), but the row count is k, not k². Downstream
     clustering (graph/cc.py) recovers the same duplicate groups.
+
+    ``payload_col``: optionally carry a NARROW per-id column (e.g. the
+    64-bit simhash) through pair generation, emitted as ``_pa``/``_pb``.
+    This lets a caller verify pairs without joining back to the
+    signature table — which would re-evaluate the signature plan once
+    per join side. Only worth it for scalar payloads: a wide payload
+    (a full MinHash signature, an embedding) multiplied by the band
+    explosion costs more in shuffle bytes than the verify join saves.
     """
     if max_bucket is None:
-        l = banded.select(F.col("_id").alias("a"), "band", "bh")
-        r = banded.select(F.col("_id").alias("b"), "band", "bh")
+        pl = [F.col(payload_col).alias("_pa")] if payload_col else []
+        pr = [F.col(payload_col).alias("_pb")] if payload_col else []
+        l = banded.select(F.col("_id").alias("a"), "band", "bh", *pl)
+        r = banded.select(F.col("_id").alias("b"), "band", "bh", *pr)
+        out_cols = ["a", "b"] + (["_pa", "_pb"] if payload_col else [])
         return (
             l.join(r, ["band", "bh"])
             .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
+            .select(*out_cols)
             .distinct()
         )
     # Single-consumption pipeline: ``banded`` is often an expensive
@@ -235,39 +248,57 @@ def _banded_pairs(banded: DataFrame, max_bucket: int | None) -> DataFrame:
     # through exactly three exchanges: w1, w2, distinct.
     from pyspark.sql import Window
 
+    # member unit: bare id, or (id, payload) struct — struct min orders
+    # by _id first (unique per bucket), so min(struct) is the struct of
+    # the min id and the representative's payload rides along for free
+    unit = (
+        F.struct(F.col("_id").alias("_id"), F.col(payload_col).alias("_p"))
+        if payload_col
+        else F.col("_id")
+    )
     w1 = Window.partitionBy("band", "bh")
     tagged = banded.select(
-        "_id", "band", "bh",
+        unit.alias("_u"), "band", "bh",
         (F.count(F.lit(1)).over(w1) <= max_bucket).alias("_small"),
-        F.min("_id").over(w1).alias("_rep"),
-    ).select(
-        "_id", "band", "_small", "_rep",
+        F.min(unit).over(w1).alias("_rep"),
+    )
+    uid = (lambda u: u["_id"]) if payload_col else (lambda u: u)
+    tagged = tagged.select(
+        "_u", "band", "_small", "_rep",
         # window-2 key: the true bucket for small rows; a per-row
         # singleton for big rows (the _small flag in the partition key
         # makes a big row's hash colliding with a small bucket's bh
         # harmless — they can never share a window partition)
         F.when(F.col("_small"), F.col("bh"))
-        .otherwise(F.xxhash64("_id"))
+        .otherwise(F.xxhash64(uid(F.col("_u"))))
         .alias("_wk"),
     )
     w2 = Window.partitionBy("band", "_small", "_wk")
     # window expressions can't be referenced inside a higher-order
     # lambda / explode projection — stage the member array as a column
-    tagged = tagged.withColumn("_members", F.collect_list("_id").over(w2))
+    tagged = tagged.withColumn("_members", F.collect_list("_u").over(w2))
     partners = F.when(
-        F.col("_small"), F.filter(F.col("_members"), lambda x: x > F.col("_id"))
+        F.col("_small"),
+        F.filter(
+            F.col("_members"), lambda x: uid(x) > uid(F.col("_u"))
+        ),
     ).otherwise(
         # star edge toward the bucket minimum; the rep row itself emits
         # nothing (slice(.., 1, 0) is the typed empty array)
-        F.when(F.col("_id") != F.col("_rep"), F.array(F.col("_id"))).otherwise(
-            F.slice(F.array(F.col("_id")), 1, 0)
-        )
+        F.when(
+            uid(F.col("_u")) != uid(F.col("_rep")), F.array(F.col("_u"))
+        ).otherwise(F.slice(F.array(F.col("_u")), 1, 0))
     )
-    a = F.when(F.col("_small"), F.col("_id")).otherwise(F.col("_rep"))
-    return (
-        tagged.select(a.alias("a"), F.explode(partners).alias("b"))
-        .distinct()
-    )
+    ua = F.when(F.col("_small"), F.col("_u")).otherwise(F.col("_rep"))
+    pairs = tagged.select(ua.alias("_ua"), F.explode(partners).alias("_ub"))
+    if payload_col:
+        return pairs.select(
+            F.col("_ua._id").alias("a"), F.col("_ub._id").alias("b"),
+            F.col("_ua._p").alias("_pa"), F.col("_ub._p").alias("_pb"),
+        ).distinct()
+    return pairs.select(
+        F.col("_ua").alias("a"), F.col("_ub").alias("b")
+    ).distinct()
 
 
 def minhash_lsh_candidates(
@@ -318,7 +349,13 @@ def minhash_lsh_candidates(
 
 
 def estimate_jaccard(sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Signature-agreement Jaccard estimate for candidate pairs."""
+    """Signature-agreement Jaccard estimate for candidate pairs.
+
+    Consumes ``sigs`` twice (one join per pair side). A full signature
+    is too wide to ride through pair generation as a payload (512 B x
+    the band explosion), so when ``sigs`` is a lazy computed plan rather
+    than a table scan, persist or write it first — otherwise each join
+    side re-evaluates the signature computation."""
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("_sb"))
     j = pairs.join(sa, "a").join(sb, "b")
@@ -455,8 +492,13 @@ def simhash_near_dups(
     oracle-gate contract)."""
     width = bits // chunks
     mask = (1 << width) - 1
+    # the 64-bit signature rides through pair generation as a payload:
+    # joining it back per side would re-evaluate the simhash plan
+    # (tokenize + 64-vote groupBy) once per join side — the same
+    # multi-consumption cost _banded_pairs' capped path eliminates
     banded = sims.select(
         F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_h"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -466,13 +508,10 @@ def simhash_near_dups(
                 for i in range(chunks)
             ])
         ).alias("cp"),
-    ).select("_id", "cp.band", "cp.bh")
-    pairs = _banded_pairs(banded, max_bucket)
-    sa = sims.select(F.col(id_col).alias("a"), F.col("simhash").alias("_ha"))
-    sb = sims.select(F.col(id_col).alias("b"), F.col("simhash").alias("_hb"))
-    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    ).select("_id", "_h", "cp.band", "cp.bh")
+    pairs = _banded_pairs(banded, max_bucket, payload_col="_h")
+    ham = F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
     return (
-        pairs.join(sa, "a").join(sb, "b")
-        .select("a", "b", ham.alias("hamming"))
+        pairs.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

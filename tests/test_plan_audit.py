@@ -173,3 +173,23 @@ def test_capped_banded_pairs_single_signature_pass(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("regexp_extract_all") == 1, plan
+
+
+def test_simhash_near_dups_single_signature_pass(spark):
+    """The default (capped) simhash near-dup plan consumes the simhash
+    aggregation exactly once: the 64-bit signature rides through pair
+    generation as a payload instead of being joined back per side (each
+    join side would re-evaluate the tokenize + 64-vote groupBy)."""
+    from cryptowalletcommunitydetection_spark.operators.dedup import (
+        simhash, simhash_near_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 5}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = (
+        simhash_near_dups(simhash(docs), max_bucket=1000)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("regexp_extract_all") == 1, plan
