@@ -194,3 +194,18 @@ def test_exact_jaccard_max_df_guard(spark):
     same = {(r["a"], r["b"]): r["jaccard"]
             for r in D.exact_jaccard_pairs(docs, threshold=0.8, max_df=1000).collect()}
     assert same == full
+
+
+def test_simhash_capped_payload_values_match_join(spark):
+    """The signatures carried through the capped pair pipeline (_pa/_pb,
+    including the representative's payload from min(struct)) must yield
+    the same hamming values as joining pairs back to the signature
+    table."""
+    docs = _mass_dup_docs(spark)
+    sims = D.simhash(docs).cache()
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in D.simhash_near_dups(sims, max_bucket=8).collect()}
+    hs = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    for (a, b), ham in got.items():
+        assert ham == bin(hs[a] ^ hs[b]).count("1"), (a, b)
+    sims.unpersist()
