@@ -38,8 +38,16 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def _closed_wedges(edges: DataFrame) -> DataFrame:
-    d = _oriented(edges)
+def _closed_wedges_of(d: DataFrame) -> DataFrame:
+    """Closed wedges over an already-materialized oriented table.
+
+    ``d`` is referenced THREE times (both wedge legs + the closer), and
+    ``_oriented`` itself consumes its input several more — so callers
+    persist the oriented table first; with a lazy expensive edge input
+    (a co-occurrence derivation) the unpinned plan would re-evaluate it
+    per reference (the same multi-consumption cost the sketch operators
+    eliminate; exchange reuse cannot help here because the three
+    consumers shuffle on three different keys: b, a, and (a, c))."""
     e1 = d.select(F.col("a"), F.col("b"))
     e2 = d.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e1.join(e2, "b")
@@ -49,19 +57,31 @@ def _closed_wedges(edges: DataFrame) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> int:
     """Total number of triangles in the undirected graph."""
-    return _closed_wedges(edges).count()
+    d = _oriented(edges).persist()
+    try:
+        return _closed_wedges_of(d).count()
+    finally:
+        d.unpersist()
 
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """DataFrame[id, triangles] — per-vertex triangle participation
     (nx.triangles semantics; vertices in no triangle get 0)."""
-    tri = _closed_wedges(edges)
+    d = _oriented(edges).persist()
+    tri = _closed_wedges_of(d)
     # one reference to the wedge pipeline (a 3-way unionByName would
     # re-plan/recompute it three times)
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
-    return (
+    out = (
         vertices_of(edges)
         .join(counts, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
+    # pin the result once so the oriented cache can be released
+    # immediately (same pattern as graph/cc.py:_decode_labels); the
+    # checkpoint blocks are the caller's result set, LRU-evicted after
+    # consumption
+    out = out.localCheckpoint(eager=True)
+    d.unpersist()
+    return out
