@@ -131,7 +131,13 @@ def extract_features(
                 }
             )
 
-    return df.select("asset_id", "kind", "bytes").mapInPandas(kernel, schema)
+    from ..session import right_size
+
+    # mapInPandas runs at the input's split count — right-size a narrow
+    # scan so decode doesn't run on one task (no-op on a wide scan)
+    return right_size(df.select("asset_id", "kind", "bytes")).mapInPandas(
+        kernel, schema
+    )
 
 
 def resize_rawrgb(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
@@ -153,7 +159,9 @@ def resize_rawrgb(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 {"asset_id": pdf["asset_id"], "bytes": pdf["bytes"].map(rs)}
             )
 
-    return df.select("asset_id", "bytes").mapInPandas(
+    from ..session import right_size
+
+    return right_size(df.select("asset_id", "bytes")).mapInPandas(
         kernel, "asset_id string, bytes binary"
     )
 
@@ -223,10 +231,12 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_sha"])
 
+    from ..session import right_size
+
     vids = df.filter(F.col("kind") == "video").select(
         "asset_id", "bytes", F.col("meta.duration_ms").alias("duration_ms")
     )
-    return vids.mapInPandas(kernel, FRAMES_SCHEMA)
+    return right_size(vids).mapInPandas(kernel, FRAMES_SCHEMA)
 
 
 def media_stats(df: DataFrame) -> DataFrame:
