@@ -211,8 +211,18 @@ def connected_components(
     strict: bool = True,
     encode: bool | None = None,
     local: bool | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """DataFrame[id, component] with component = min member id.
+
+    ``assume_canonical``: the caller guarantees the input satisfies the
+    ``derive_edges`` output contract (src < dst, one row per unordered
+    pair, no self-loops — hence already distinct), so the defensive
+    ``.distinct()`` that seeds the universe/probe skips its |E|-scale
+    exchange; the single materializing action it funds is kept. CC's
+    labels depend only on the distinct edge set, so this flag cannot
+    change results — only an input that VIOLATES the contract would
+    (duplicates would corrupt the fixpoint sketch counts).
 
     ``edges`` needs columns src, dst (any orderable type; self-loops and
     duplicate orientations tolerated). ``vertices`` (DataFrame[id])
@@ -291,7 +301,9 @@ def connected_components(
         # part of the OUTPUT as singletons, so they belong in the
         # identity; the previous self-loop-free hash let two inputs
         # differing only in such a vertex share a resume state).
-        universe = raw.distinct().localCheckpoint(eager=False)
+        universe = (
+            raw if assume_canonical else raw.distinct()
+        ).localCheckpoint(eager=False)
         non_loop = F.col("src") != F.col("dst")
         h42 = lambda c: F.xxhash64(F.col(c), F.lit(42))  # noqa: E731
         r = universe.agg(

@@ -127,6 +127,13 @@ def cooccurrence_edges(
     docstring) — at scale this is the difference between a plan that
     finishes and one that emits 10^12 rows from one group.
 
+    OUTPUT CONTRACT — the result is CANONICAL: src < dst on every row,
+    exactly one row per unordered pair, no self-loops (the strict
+    ``<`` guarantees distinct endpoints). Downstream graph algorithms
+    accept ``assume_canonical=True`` to skip their defensive
+    re-canonicalization — one whole-edge-table shuffle each — on the
+    strength of this contract.
+
     ``encode`` (None = auto: on for string entities): the pair stream is
     quadratic in group size — orders of magnitude larger than the entity
     table — and its groupBy must shuffle and hash-aggregate every pair.
@@ -215,6 +222,9 @@ def derive_edges(
     ``engine`` selects the extraction kernel (see ``extract_entities``):
     "arrow" is the north-rule mapInPandas path; "jvm" keeps the whole
     derivation inside whole-stage codegen.
+
+    Output is canonical (see ``cooccurrence_edges``): feed it to the
+    graph algorithms with ``assume_canonical=True``.
     """
     ents = extract_entities(files, pattern=pattern, engine=engine)
     return cooccurrence_edges(ents, max_entities_per_group=max_entities_per_group)

@@ -150,8 +150,16 @@ def label_propagation(
     directed: bool = False,
     run_dir: str | None = None,
     local: bool | None = None,
+    assume_canonical: bool = False,
 ) -> LPAResult:
     """DataFrame[id, label] after synchronous min-tie-break LPA.
+
+    ``assume_canonical`` (undirected only): input is guaranteed already
+    canonical (src < dst, one row per unordered pair, no self-loops —
+    the ``derive_edges`` output contract), so the defensive
+    ``canonicalize_edges`` groupBy — one full |E|-scale shuffle — is
+    skipped. A contract, not a hint: duplicate orientations passed
+    under it would cast double votes.
 
     ``local`` picks the physical strategy below ``LOCAL_LPA_MAX_EDGES``
     deduped vote rows: ``None`` (default) auto-selects the single-task
@@ -173,8 +181,13 @@ def label_propagation(
                 "src", "dst", F.lit(1).alias("weight")
             )
     else:
-        # nx.Graph semantics: duplicate rows / orientations collapse
-        canon = canonicalize_edges(edges, weight="weight" if has_w else None)
+        if assume_canonical:
+            canon = edges.select(
+                "src", "dst", *([F.col("weight")] if has_w else [])
+            )
+        else:
+            # nx.Graph semantics: duplicate rows / orientations collapse
+            canon = canonicalize_edges(edges, weight="weight" if has_w else None)
         if not has_w:
             canon = canon.select("src", "dst", F.lit(1).alias("weight"))
         e = symmetrize(canon, weight=True)

@@ -224,12 +224,23 @@ def pagerank(
     adaptive_supersteps: bool | None = None,
     encode: bool | None = None,
     broadcast_update_join: bool = False,
+    assume_canonical: bool = False,
 ) -> PageRankResult:
     """Iterative PageRank. ``edges``: src, dst [, weight].
 
     ``directed=False`` treats the input as canonical undirected edges and
     symmetrizes (NetworkX Graph semantics). ``tol`` is the absolute L1
     threshold on Σ|Δrank|.
+
+    ``assume_canonical`` (undirected only): the caller guarantees the
+    input is already canonical — src < dst, one row per unordered pair,
+    no self-loops — so the defensive ``canonicalize_edges`` groupBy (a
+    full |E|-scale shuffle before the first superstep) is skipped.
+    ``derive_edges``/``cooccurrence_edges`` output satisfies this by
+    construction; at the 10^12-file posture that skip removes one
+    whole-edge-table exchange from the pipeline. Passing a
+    non-canonical table under this flag double-counts duplicate
+    orientations — it is a contract, not a hint.
 
     ``strategy`` picks the superstep physical plan:
 
@@ -275,9 +286,15 @@ def pagerank(
         if not has_w:
             e = e.select("src", "dst", F.lit(1).alias("weight"))
     else:
-        # nx.Graph semantics: duplicate rows / reversed orientations
-        # collapse to one undirected edge (weights summed when weighted)
-        canon = canonicalize_edges(edges, weight="weight" if has_w else None)
+        if assume_canonical:
+            canon = edges.select(
+                "src", "dst",
+                *([F.col("weight")] if has_w else []),
+            )
+        else:
+            # nx.Graph semantics: duplicate rows / reversed orientations
+            # collapse to one undirected edge (weights summed if weighted)
+            canon = canonicalize_edges(edges, weight="weight" if has_w else None)
         if not has_w:
             canon = canon.select("src", "dst", F.lit(1).alias("weight"))
         e = symmetrize(canon, weight=True)

@@ -20,14 +20,23 @@ from pyspark.sql import functions as F
 from .edges import degrees, vertices_of
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """Canonical undirected edges -> edges directed by (degree, id) order."""
-    e = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
-        .distinct()
-    )
+def _oriented(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
+    """Canonical undirected edges -> edges directed by (degree, id) order.
+
+    ``assume_canonical`` skips the defensive least/greatest + distinct
+    (one |E|-scale shuffle) when the caller guarantees the
+    ``derive_edges`` output contract: src < dst, one row per unordered
+    pair, no self-loops. A duplicate row passed under the flag would be
+    counted as two parallel edges (wedges double)."""
+    if assume_canonical:
+        e = edges.select("src", "dst")
+    else:
+        e = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+            .distinct()
+        )
     deg = degrees(e)
     ds = deg.select(F.col("id").alias("src"), F.struct(F.col("degree"), F.col("id")).alias("_ks"))
     dd = deg.select(F.col("id").alias("dst"), F.struct(F.col("degree"), F.col("id")).alias("_kd"))
@@ -55,19 +64,21 @@ def _closed_wedges_of(d: DataFrame) -> DataFrame:
     return wedges.join(closer, ["a", "c"], "left_semi").select("a", "b", "c")
 
 
-def triangle_count(edges: DataFrame) -> int:
+def triangle_count(edges: DataFrame, assume_canonical: bool = False) -> int:
     """Total number of triangles in the undirected graph."""
-    d = _oriented(edges).persist()
+    d = _oriented(edges, assume_canonical).persist()
     try:
         return _closed_wedges_of(d).count()
     finally:
         d.unpersist()
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
+def triangles_per_vertex(
+    edges: DataFrame, assume_canonical: bool = False
+) -> DataFrame:
     """DataFrame[id, triangles] — per-vertex triangle participation
     (nx.triangles semantics; vertices in no triangle get 0)."""
-    d = _oriented(edges).persist()
+    d = _oriented(edges, assume_canonical).persist()
     tri = _closed_wedges_of(d)
     # one reference to the wedge pipeline (a 3-way unionByName would
     # re-plan/recompute it three times)

@@ -57,31 +57,38 @@ def main():
 
     if args.edges:
         edges = spark.read.parquet(args.edges)
+        canonical = False  # arbitrary parquet: keep the defensive dedup
     else:
         edges = derive_edges(read_files(spark, args.files))
+        canonical = True  # derive_edges output contract: already canonical
 
     summary: dict = {"algo": args.algo, "out": args.out}
     if args.algo == "pagerank":
         res = pagerank(
             spark, edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
             weighted=args.weighted, directed=args.directed, run_dir=args.run_dir,
+            assume_canonical=canonical and not args.directed,
         )
         res.ranks.write.mode("overwrite").parquet(args.out)
         summary.update(supersteps=res.supersteps, converged=res.converged)
     elif args.algo == "cc":
         cc = connected_components(
-            spark, edges, max_iter=args.max_iter, run_dir=args.run_dir
+            spark, edges, max_iter=args.max_iter, run_dir=args.run_dir,
+            assume_canonical=canonical,
         )
         cc.write.mode("overwrite").parquet(args.out)
     elif args.algo == "lpa":
         res = label_propagation(
             spark, edges, max_iter=min(args.max_iter, 50),
             weighted=args.weighted, directed=args.directed, run_dir=args.run_dir,
+            assume_canonical=canonical and not args.directed,
         )
         res.labels.write.mode("overwrite").parquet(args.out)
         summary.update(supersteps=res.supersteps, converged=res.converged)
     elif args.algo == "triangles":
-        triangles_per_vertex(edges).write.mode("overwrite").parquet(args.out)
+        triangles_per_vertex(
+            edges, assume_canonical=canonical
+        ).write.mode("overwrite").parquet(args.out)
     elif args.algo == "rollup":
         from pyspark.sql import functions as F
 
