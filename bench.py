@@ -72,14 +72,19 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # compilation (~12s of the cold wall at sf0.1). Forced distributed so
     # the distributed-kernel measurement below is JIT-warm like in prior
     # rounds; it also warms the local kernel's Arrow path via auto.
+    # assume_canonical: _bipartite_edges is canonical by construction
+    # (grouped (cust,supp) keys, 'c…' < 's…'), so the defensive
+    # re-canonicalization shuffle is skipped engine-wide this round
     pagerank(spark, edges, tol=0.0, max_iter=15, weighted=True,
-             strategy="broadcast")
-    pagerank(spark, edges, tol=0.0, max_iter=2, weighted=True)
+             strategy="broadcast", assume_canonical=True)
+    pagerank(spark, edges, tol=0.0, max_iter=2, weighted=True,
+             assume_canonical=True)
 
     # headline: the engine's default (adaptive) strategy — below
     # LOCAL_PR_MAX_EDGES this is the single-task vectorized kernel
     s0, t0 = _steal(), time.monotonic()
-    res = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100)
+    res = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100,
+                   assume_canonical=True)
     pr_wall = time.monotonic() - t0
     timings["pagerank_1e6"] = round(pr_wall, 3)
     steals["pagerank_1e6"] = _steal() - s0
@@ -92,7 +97,7 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # (scaling.py benches it at 96M edges for the efficiency criterion)
     s0, t0 = _steal(), time.monotonic()
     res_d = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100,
-                     strategy="broadcast")
+                     strategy="broadcast", assume_canonical=True)
     prd_wall = time.monotonic() - t0
     steals["pagerank_distributed"] = _steal() - s0
     edges_per_sec_d = (

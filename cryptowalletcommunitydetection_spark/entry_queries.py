@@ -233,26 +233,34 @@ def q_cooccur_edges(spark, sf_dir):
 
 
 def q_lpa_fixed(spark, sf_dir):
+    # cooccurrence_edges output is canonical by contract -> skip the
+    # defensive re-canonicalization shuffle (tests/test_assume_canonical)
     edges = _cooccur_edges(spark, sf_dir)
-    res = label_propagation(spark, edges, max_iter=4)
+    res = label_propagation(spark, edges, max_iter=4, assume_canonical=True)
     return res.labels
 
 
 def q_cc_components(spark, sf_dir):
+    # trade pairs are canonical: distinct, src='c…' < dst='s…' by the
+    # label prefix, endpoints from disjoint vertex sets (no self-loops)
     pairs = _trade_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("from_address").alias("src"), F.col("to_address").alias("dst")
     )
-    return connected_components(spark, edges)
+    return connected_components(spark, edges, assume_canonical=True)
 
 
 def q_triangles(spark, sf_dir):
-    return triangles_per_vertex(_cooccur_edges(spark, sf_dir))
+    return triangles_per_vertex(
+        _cooccur_edges(spark, sf_dir), assume_canonical=True
+    )
 
 
 def q_community_rollup(spark, sf_dir):
+    # trade pairs are canonical (see q_cc_components) -> skip the two
+    # defensive dedup exchanges inside the rollup
     pairs = _trade_pairs(spark, sf_dir)
-    return bipartite_group_rollup(spark, pairs).select(
+    return bipartite_group_rollup(spark, pairs, assume_canonical=True).select(
         "component", "num_user", "num_depo"
     )
 
@@ -805,7 +813,10 @@ def q_doc_stats(spark, sf_dir):
 def q_pagerank_weighted(spark, sf_dir):
     """G6 weighted: transition p = weight / out-weight-sum."""
     edges = _cooccur_edges(spark, sf_dir)
-    res = pagerank(spark, edges, alpha=0.85, tol=0.0, max_iter=8, weighted=True)
+    res = pagerank(
+        spark, edges, alpha=0.85, tol=0.0, max_iter=8, weighted=True,
+        assume_canonical=True,
+    )
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
@@ -875,9 +886,17 @@ def q_pagerank_resume(spark, sf_dir):
     edges = _cooccur_edges(spark, sf_dir)
     run_dir = tempfile.mkdtemp(prefix="pr_resume_gate_")
     try:
-        pagerank(spark, edges, tol=0.0, max_iter=3, weighted=False, run_dir=run_dir)
+        # both legs must agree on assume_canonical: the manifest input
+        # sketch hashes the normalized edges, identical either way for a
+        # canonical input, but mixing flags on a NON-canonical one would
+        # resume across different effective inputs
+        pagerank(
+            spark, edges, tol=0.0, max_iter=3, weighted=False,
+            run_dir=run_dir, assume_canonical=True,
+        )
         res = pagerank(
-            spark, edges, tol=0.0, max_iter=6, weighted=False, run_dir=run_dir
+            spark, edges, tol=0.0, max_iter=6, weighted=False,
+            run_dir=run_dir, assume_canonical=True,
         )
         out = res.ranks.select("id", F.round("rank", 9).alias("rank"))
         # materialize before the checkpoint dir disappears
@@ -1072,7 +1091,10 @@ def q_pagerank_converged(spark, sf_dir):
     enough that rounding to 5 decimals is stable against the DuckDB
     recursive-CTE power iteration run far past convergence)."""
     edges = _cooccur_edges(spark, sf_dir)
-    res = pagerank(spark, edges, tol=1e-9, weighted=True, max_iter=400)
+    res = pagerank(
+        spark, edges, tol=1e-9, weighted=True, max_iter=400,
+        assume_canonical=True,
+    )
     return res.ranks.select("id", F.round("rank", 5).alias("rank"))
 
 

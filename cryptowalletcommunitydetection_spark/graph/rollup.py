@@ -32,6 +32,7 @@ def bipartite_group_rollup(
     to_col: str = "to_address",
     run_dir: str | None = None,
     nsalt: int | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """pairs(from, to) -> one row per community.
 
@@ -44,6 +45,12 @@ def bipartite_group_rollup(
     map-side partial form, so a 10^7-member component would otherwise
     land on one task; see graph/skew.py::salted_collect). Results are
     identical with/without (tests/test_skew.py invariance applies).
+
+    ``assume_canonical``: the pair table is guaranteed already canonical
+    (distinct rows, from < to, endpoints never equal — e.g. disjoint
+    labeled vertex sets), so the defensive canonicalize groupBy is
+    skipped and the guarantee forwarded to CC's universe dedup: two
+    |pairs|-scale exchanges elided.
     """
     # pairs feeds four scans (edges->cc, verts, senders, edge_comp); when
     # it is itself a join pipeline (the reference's trade-pair extraction
@@ -52,7 +59,12 @@ def bipartite_group_rollup(
     pairs = pairs.select(
         F.col(from_col).alias("from_address"), F.col(to_col).alias("to_address")
     ).persist()
-    edges = canonicalize_edges(pairs, "from_address", "to_address")
+    if assume_canonical:
+        edges = pairs.select(
+            F.col("from_address").alias("src"), F.col("to_address").alias("dst")
+        )
+    else:
+        edges = canonicalize_edges(pairs, "from_address", "to_address")
     # every pair endpoint is a community member even when its only pair
     # is a self-transfer (canonicalize drops self-loops, so such wallets
     # would otherwise vanish; the reference's nx.Graph keeps them as
@@ -63,7 +75,10 @@ def bipartite_group_rollup(
         .filter(F.col("id").isNotNull())
         .distinct()
     )
-    cc = connected_components(spark, edges, vertices=verts, run_dir=run_dir)
+    cc = connected_components(
+        spark, edges, vertices=verts, run_dir=run_dir,
+        assume_canonical=assume_canonical,
+    )
 
     senders = pairs.select(F.col("from_address").alias("id")).distinct()
     # one left join + flag instead of a semi/anti pair: same partition
