@@ -18,4 +18,6 @@ from .timeseries import (  # noqa: F401
     carry_forward_sum,
     keep_one_per_bucket,
     prune_old,
+    sessionize,
+    sessionize_stream,
 )

@@ -181,3 +181,94 @@ def carry_forward_sum(
         .agg(F.sum("_ff").alias("combined"))
         .orderBy(ts)
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    gap: int = 1800,
+) -> DataFrame:
+    """W2/T7 — gap-based session windows per key (batch formulation).
+
+    A new session starts when a key's consecutive events are ``gap``
+    seconds or more apart (matching ``F.session_window``'s merge rule:
+    windows [t, t+gap) merge only when they overlap, i.e. diff < gap)
+    — the reference's scheduler slices activity
+    into fixed tumbling windows (cli/exchange_deposit_wallets.py:27-32);
+    sessionization is the data-driven window the wallet-activity domain
+    actually wants (an address's burst of transfers = one session).
+
+    Output: DataFrame[<key>, session_start, session_end, n_events] —
+    one row per (key, session), ends inclusive of the last event.
+
+    Plan shape: ONE exchange total (pinned by
+    tests/test_sessionize.py::test_sessionize_single_shuffle_window).
+    The session id is the classic gaps-and-islands running sum of
+    new-session flags; the two window functions are sequential (the sum
+    consumes the lag's output) so they are two Window operators over
+    the SAME (key, ts) clustering — no second shuffle — and the closing
+    groupBy on (key, _sid) is satisfied by the existing hash
+    partitioning on key (subset clustering), so it aggregates entirely
+    partition-locally.
+
+    For true streams, prefer ``sessionize_stream`` (F.session_window:
+    state-store merged, watermark-closed).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    flagged = df.select(
+        key,
+        F.col(ts).alias("_ts"),
+        F.when(
+            F.col(ts).cast("long")
+            - F.lag(F.col(ts).cast("long")).over(
+                Window.partitionBy(key).orderBy(ts)
+            )
+            >= gap,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sid = flagged.withColumn(
+        "_sid",
+        F.sum("_new").over(
+            Window.partitionBy(key)
+            .orderBy("_ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sid.groupBy(key, "_sid").agg(
+        F.min("_ts").alias("session_start"),
+        F.max("_ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).drop("_sid")
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    gap: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """T7 streaming twin of ``sessionize``: ``F.session_window`` merges
+    overlapping per-event windows in the state store; sessions close
+    (emit, append mode) once the watermark passes the session end.
+    Session membership matches the batch formulation exactly; the ONE
+    convention difference is ``session_end`` = last event + ``gap``
+    (the window's half-open end) where batch reports the last event
+    itself. Returns the aggregated streaming DataFrame; caller attaches
+    the sink."""
+    return (
+        stream.withColumn(ts, F.col(ts).cast("timestamp"))
+        .withWatermark(ts, watermark)
+        .groupBy(key, F.session_window(F.col(ts), f"{gap} seconds").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
