@@ -97,8 +97,16 @@ def wallet_state_stream(
         state.update((n, total, last_ts, tags))
         if ttl_ms:
             # age out in event time: expire once the watermark passes
-            # last-touch + TTL (deterministic under replay/catch-up)
-            state.setTimeoutTimestamp(last_ts + ttl_ms)
+            # last-touch + TTL (deterministic under replay/catch-up).
+            # The max() is defensive: setTimeoutTimestamp REJECTS a
+            # timestamp at/behind the current watermark (query-fatal).
+            # Any row this function sees satisfies ts > watermark (late
+            # rows are filtered by the same watermark), so last_ts+ttl
+            # should always be ahead — the clamp is cheap insurance
+            # against that ordering changing across Spark versions, not
+            # a path we can currently reach.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ts + ttl_ms, wm + 1))
         yield pd.DataFrame(
             {
                 "wallet": [str(key[0])],
