@@ -1,2 +1,3 @@
+from .edge_log import EdgeLog, incremental_derive, merge_edge_deltas  # noqa: F401
 from .files import read_files, read_wallet_pairs_csv, write_files  # noqa: F401
 from .sinks import quarantine_sink, write_groups  # noqa: F401

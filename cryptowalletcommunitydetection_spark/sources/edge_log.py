@@ -1,0 +1,159 @@
+"""Incremental edge-table maintenance (S9/S10/T1 at the graph layer).
+
+At the 10^12-file posture the co-occurrence graph cannot be re-derived
+from scratch per ingest batch. Incremental derivation is EXACT here
+because co-occurrence groups are (repo, commit) and a commit's files
+arrive atomically: a new batch's groups are disjoint from every earlier
+batch's, so no pair ever spans batches — deriving the delta's edges and
+weight-summing them into the table reproduces the full derivation
+bit-for-bit (tests/test_edge_log.py pins this).
+
+``EdgeLog`` is the log-structured store for those deltas on plain
+Parquet (the reference's analogue: per-window Mongo upserts advancing a
+last_synced cursor, cli/exchange_deposit_wallets.py:84-123):
+
+- ``append(delta, batch_id)`` writes the delta's canonical edges as an
+  immutable Parquet segment — NO read or shuffle of the existing table
+  (an ingest batch costs O(|delta|), not O(|table|)),
+- ``read()`` returns the merged canonical view: base ∪ pending deltas,
+  weights summed. Until compaction, readers pay one groupBy over
+  base+deltas — the classic LSM read amplification,
+- ``compact()`` materializes the merged view as the new base and
+  retires the deltas (run it every K batches or when the delta bytes
+  cross a threshold),
+- the manifest (atomic os.replace, same pattern as
+  plans/checkpoint.RunManifest and streaming.IncrementalRunner) records
+  applied batch ids: replaying an already-applied batch is a NO-OP, so
+  a crashed-and-restarted ingest loop is idempotent. A crash between
+  segment write and manifest update leaves an orphan directory that is
+  never read and is overwritten on retry.
+
+On a real lakehouse catalog, ``append`` + ``compact`` collapse into one
+transactional ``MERGE INTO`` (operators/relational.merge_upsert_table);
+this module is the catalog-free equivalent with the same semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_edge_deltas(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """canonical ⊎ canonical -> canonical: same unordered pair's weights
+    sum; the (src < dst, one-row-per-pair, no self-loop) contract is
+    closed under this merge."""
+    if existing is None:
+        return delta
+    return (
+        existing.select("src", "dst", "weight")
+        .unionByName(delta.select("src", "dst", "weight"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+class EdgeLog:
+    """Log-structured canonical edge table under ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest_path = os.path.join(root, "manifest.json")
+        os.makedirs(root, exist_ok=True)
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                self._m = json.load(f)
+        else:
+            self._m = {"base": None, "deltas": [], "applied": []}
+            self._persist()
+
+    def _persist(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._m, f)
+        os.replace(tmp, self.manifest_path)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # -------------------------------------------------------- ingest
+    def append(self, delta: DataFrame, batch_id: str) -> bool:
+        """Write one ingest batch's canonical edges. Returns False (and
+        writes nothing) if ``batch_id`` was already applied — replay
+        safety for at-least-once upstream delivery."""
+        if batch_id in self._m["applied"]:
+            return False
+        seg = f"delta_{batch_id}"
+        delta.select("src", "dst", "weight").write.mode("overwrite").parquet(
+            self._path(seg)
+        )
+        self._m["deltas"].append(seg)
+        self._m["applied"].append(batch_id)
+        self._persist()
+        return True
+
+    # --------------------------------------------------------- query
+    def read(self) -> DataFrame | None:
+        """Merged canonical view (None when the log is empty). Lazy: the
+        base ∪ deltas groupBy runs inside the consumer's plan, so a
+        downstream filter/projection is pushed below the union into
+        every segment scan."""
+        parts = []
+        if self._m["base"]:
+            parts.append(self.spark.read.parquet(self._path(self._m["base"])))
+        parts += [self.spark.read.parquet(self._path(d)) for d in self._m["deltas"]]
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if len(parts) == 1:
+            return out
+        return out.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+
+    # ----------------------------------------------------- maintenance
+    def compact(self) -> int:
+        """Materialize the merged view as the new base and retire the
+        deltas. Returns the number of retired delta segments. The new
+        base is written under a fresh versioned name first and the
+        manifest swap is atomic, so readers of the OLD manifest keep a
+        consistent (old base + old deltas) view throughout."""
+        n = len(self._m["deltas"])
+        if n == 0:
+            return 0
+        version = sum(1 for s in self._m["applied"]) + (
+            0 if self._m["base"] is None else 1
+        )
+        new_base = f"base_v{version}"
+        merged = self.read()
+        merged.write.mode("overwrite").parquet(self._path(new_base))
+        self._m["base"] = new_base
+        self._m["deltas"] = []
+        self._persist()
+        return n
+
+
+def incremental_derive(
+    spark: SparkSession,
+    new_files: DataFrame,
+    log: EdgeLog,
+    batch_id: str,
+    max_entities_per_group: int | None = 1000,
+    engine: str = "arrow",
+) -> bool:
+    """One ingest step: derive the new batch's co-occurrence edges and
+    append them to the log. Exact against full re-derivation as long as
+    each (repo, commit) group is wholly contained in one batch (commits
+    are atomic upstream — a split group WOULD lose its cross-batch
+    pairs, so the ingest boundary must be the commit, never the file).
+    """
+    from ..graph.edges import derive_edges
+
+    delta = derive_edges(
+        new_files, max_entities_per_group=max_entities_per_group, engine=engine
+    )
+    return log.append(delta, batch_id)

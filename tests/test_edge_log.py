@@ -1,0 +1,91 @@
+"""Incremental edge derivation + log-structured edge store.
+
+Pins the exactness claim: because co-occurrence groups are
+(repo, commit) and a commit lands wholly in one ingest batch, per-batch
+derivation merged through the EdgeLog equals full re-derivation — before
+and after compaction — and batch replays are no-ops.
+"""
+
+from pyspark.sql import functions as F
+
+from cryptowalletcommunitydetection_spark import datagen
+from cryptowalletcommunitydetection_spark.graph.edges import derive_edges
+from cryptowalletcommunitydetection_spark.sources import (
+    EdgeLog,
+    incremental_derive,
+)
+
+
+def _files(spark):
+    pdf = datagen.gen_files_pdf(n_repos=9, files_per_repo=6, n_entities=30)
+    return spark.createDataFrame(pdf, schema=datagen.FILES_SCHEMA)
+
+
+def _as_dict(df):
+    return {(r["src"], r["dst"]): r["weight"] for r in df.collect()}
+
+
+def test_incremental_equals_full_derivation(spark, tmp_path):
+    files = _files(spark).persist()
+    # batch boundary = commit (atomic upstream): 3 disjoint batches
+    commits = sorted(r["commit"] for r in files.select("commit").distinct().collect())
+    cut1, cut2 = commits[len(commits) // 3], commits[2 * len(commits) // 3]
+    batches = [
+        files.filter(F.col("commit") <= cut1),
+        files.filter((F.col("commit") > cut1) & (F.col("commit") <= cut2)),
+        files.filter(F.col("commit") > cut2),
+    ]
+
+    log = EdgeLog(spark, str(tmp_path / "elog"))
+    for i, b in enumerate(batches):
+        assert incremental_derive(spark, b, log, batch_id=f"b{i}")
+
+    want = _as_dict(derive_edges(files))
+    assert _as_dict(log.read()) == want
+
+    # compaction changes layout, not content
+    assert log.compact() == 3
+    assert _as_dict(log.read()) == want
+    # second compact: nothing to do
+    assert log.compact() == 0
+
+    # replayed batch (at-least-once upstream): no-op, content unchanged
+    assert not incremental_derive(spark, batches[1], log, batch_id="b1")
+    assert _as_dict(log.read()) == want
+    files.unpersist()
+
+
+def test_edge_log_survives_reopen_and_appends_after_compact(spark, tmp_path):
+    files = _files(spark).persist()
+    commits = sorted(r["commit"] for r in files.select("commit").distinct().collect())
+    cut = commits[len(commits) // 2]
+    b1 = files.filter(F.col("commit") <= cut)
+    b2 = files.filter(F.col("commit") > cut)
+
+    root = str(tmp_path / "elog")
+    log = EdgeLog(spark, root)
+    incremental_derive(spark, b1, log, "b1")
+    log.compact()
+
+    # a NEW EdgeLog instance (restart) sees the manifest state
+    log2 = EdgeLog(spark, root)
+    assert not incremental_derive(spark, b1, log2, "b1")  # replay blocked
+    assert incremental_derive(spark, b2, log2, "b2")
+
+    want = _as_dict(derive_edges(files))
+    assert _as_dict(log2.read()) == want
+    # mixed base+delta read, then a second compaction round
+    assert log2.compact() == 1
+    assert _as_dict(log2.read()) == want
+    files.unpersist()
+
+
+def test_merged_view_is_canonical_for_graph_consumers(spark, tmp_path):
+    """EdgeLog.read() keeps the canonical contract, so graph algorithms
+    may consume it with assume_canonical=True."""
+    files = _files(spark)
+    log = EdgeLog(spark, str(tmp_path / "elog"))
+    incremental_derive(spark, files, log, "all")
+    e = log.read()
+    assert e.filter(F.col("src") >= F.col("dst")).count() == 0
+    assert e.count() == e.select("src", "dst").distinct().count()
