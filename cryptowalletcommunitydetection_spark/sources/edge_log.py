@@ -157,3 +157,54 @@ def incremental_derive(
         new_files, max_entities_per_group=max_entities_per_group, engine=engine
     )
     return log.append(delta, batch_id)
+
+
+def stream_files_into_log(
+    spark: SparkSession,
+    files_path: str,
+    schema,
+    log: EdgeLog,
+    checkpoint_dir: str,
+    max_entities_per_group: int | None = 1000,
+    engine: str = "arrow",
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous ingest: a file-source stream over the files table
+    drives ``incremental_derive`` through ``foreachBatch``.
+
+    Exactly-once composition: Spark's streaming checkpoint guarantees
+    each micro-batch id is delivered at-least-once to foreachBatch, and
+    ``EdgeLog.append``'s manifest makes the apply idempotent per batch
+    id — together, every file contributes to the edge table exactly
+    once across crashes and restarts. The batch boundary is whatever
+    the source groups into a micro-batch, so the commit-atomicity
+    requirement of ``incremental_derive`` holds as long as one commit's
+    files land in one source file (the writer contract upstream).
+
+    Trigger.AvailableNow: catch up on everything present, then stop —
+    the scheduler-loop replacement (run it from cron / the reference's
+    forever loop). Returns the finished StreamingQuery.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(files_path)
+
+    def sink(batch_df, batch_id):
+        incremental_derive(
+            spark,
+            batch_df,
+            log,
+            batch_id=f"stream_{batch_id}",
+            max_entities_per_group=max_entities_per_group,
+            engine=engine,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -89,3 +89,38 @@ def test_merged_view_is_canonical_for_graph_consumers(spark, tmp_path):
     e = log.read()
     assert e.filter(F.col("src") >= F.col("dst")).count() == 0
     assert e.count() == e.select("src", "dst").distinct().count()
+
+
+def test_stream_files_into_log_exactly_once(spark, tmp_path):
+    """File-source stream -> foreachBatch incremental_derive: merged
+    result equals full derivation; a checkpointed re-run ingests
+    nothing new."""
+    from cryptowalletcommunitydetection_spark.sources import (
+        stream_files_into_log,
+    )
+
+    files = _files(spark).persist()
+    src = str(tmp_path / "files_src")
+    commits = sorted(r["commit"] for r in files.select("commit").distinct().collect())
+    cut = commits[len(commits) // 2]
+    # one commit's files land wholly in one source file (writer contract)
+    files.filter(F.col("commit") <= cut).coalesce(1).write.mode("append").parquet(src)
+    files.filter(F.col("commit") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    log = EdgeLog(spark, str(tmp_path / "elog"))
+    ck = str(tmp_path / "ck")
+    stream_files_into_log(
+        spark, src, files.schema, log, ck, max_files_per_trigger=1
+    )
+    want = _as_dict(derive_edges(files))
+    assert _as_dict(log.read()) == want
+    applied_before = list(log._m["applied"])
+
+    # restart with the same checkpoint and no new input: nothing applied
+    log2 = EdgeLog(spark, str(tmp_path / "elog"))
+    stream_files_into_log(
+        spark, src, files.schema, log2, ck, max_files_per_trigger=1
+    )
+    assert log2._m["applied"] == applied_before
+    assert _as_dict(log2.read()) == want
+    files.unpersist()
