@@ -57,7 +57,13 @@ def merge_edge_deltas(existing: DataFrame | None, delta: DataFrame) -> DataFrame
 
 
 class EdgeLog:
-    """Log-structured canonical edge table under ``root``."""
+    """Log-structured canonical edge table under ``root``.
+
+    Single-writer: the manifest swap is atomic against READERS (they see
+    either the old or the new state), but two concurrent writers would
+    lose one of their manifest updates — serialize ingest (the upstream
+    is a cursor/stream loop, naturally serial) or move to a catalog
+    table where MERGE INTO provides the transaction."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark

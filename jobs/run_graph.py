@@ -33,6 +33,7 @@ def main():
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
+    src.add_argument("--edge-log", help="EdgeLog root (incremental edge table)")
     ap.add_argument("--out", required=True, help="output parquet path")
     ap.add_argument("--run-dir", default=None, help="checkpoint/resume directory")
     ap.add_argument("--alpha", type=float, default=0.85)
@@ -58,6 +59,13 @@ def main():
     if args.edges:
         edges = spark.read.parquet(args.edges)
         canonical = False  # arbitrary parquet: keep the defensive dedup
+    elif args.edge_log:
+        from cryptowalletcommunitydetection_spark.sources import EdgeLog
+
+        edges = EdgeLog(spark, args.edge_log).read()
+        if edges is None:
+            raise SystemExit(f"edge log at {args.edge_log} is empty")
+        canonical = True  # merged view keeps the canonical contract
     else:
         edges = derive_edges(read_files(spark, args.files))
         canonical = True  # derive_edges output contract: already canonical
