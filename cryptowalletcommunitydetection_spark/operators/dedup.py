@@ -33,12 +33,21 @@ def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     normalize: bool = True,
 ) -> DataFrame:
-    """Keep one row (min id) per distinct content. Hash-groupBy — the
-    partial aggregation handles heavy duplicate groups without skew."""
+    """Keep one row (min id) per distinct content. ONE hash-groupBy:
+    ``min_by`` carries the winning row's struct through the aggregation,
+    so there is no join back and the (expensive) normalize+sha256 key
+    expression is evaluated once per row. Map-side partial aggregation
+    collapses duplicate groups before the shuffle — shuffle bytes are
+    bounded by DISTINCT contents, and a heavy duplicate group (the skew
+    case for dedup) shrinks to one row per map task. (Previous plan:
+    groupBy(min id) + semi-join back — two exchanges, key computed on
+    both sides.)"""
     key = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize else F.col(text_col)
     keyed = df.withColumn("_k", F.sha2(key, 256))
-    keep = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
-    return keyed.join(keep, [ "_k", id_col], "left_semi").drop("_k")
+    kept = keyed.groupBy("_k").agg(
+        F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_row")
+    )
+    return kept.select("_row.*")
 
 
 def word_tokens(text_col):
