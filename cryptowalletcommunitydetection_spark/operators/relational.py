@@ -64,13 +64,19 @@ def recency_filter(
     ``cutoff`` may be an epoch int for numeric ``ts`` columns or a
     datetime string for timestamp columns — the literal is cast
     explicitly to the ``ts`` column's type so the comparison never
-    relies on implicit coercion (ANSI-safe)."""
+    relies on implicit coercion (ANSI-safe).
+
+    Plan: per-key max as a whole-partition window, filtered — ONE scan
+    and ONE exchange. The previous groupBy + semi-join-back evaluated
+    the source twice (agg side and join side): at warehouse scale that
+    is two full passes over the table for one filter."""
     ts_type = df.schema[ts].dataType
-    latest = df.groupBy(key).agg(F.max(ts).alias("_latest"))
-    keep = latest.filter(
-        F.col("_latest") >= F.lit(cutoff).cast(ts_type)
-    ).select(key)
-    return df.join(keep, key, "left_semi")
+    w = Window.partitionBy(key)
+    return (
+        df.withColumn("_latest", F.max(ts).over(w))
+        .filter(F.col("_latest") >= F.lit(cutoff).cast(ts_type))
+        .drop("_latest")
+    )
 
 
 def top1_per_key(df: DataFrame, key: str, order_col: str, desc: bool = True) -> DataFrame:
