@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from .edges import degrees, vertices_of
 
 
-def _oriented(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
-    """Canonical undirected edges -> edges directed by (degree, id) order.
+def _canonical(edges: DataFrame, assume_canonical: bool) -> DataFrame:
+    """Canonical (src < dst, distinct, loop-free) edge set.
 
     ``assume_canonical`` skips the defensive least/greatest + distinct
     (one |E|-scale shuffle) when the caller guarantees the
@@ -29,14 +29,19 @@ def _oriented(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     pair, no self-loops. A duplicate row passed under the flag would be
     counted as two parallel edges (wedges double)."""
     if assume_canonical:
-        e = edges.select("src", "dst")
-    else:
-        e = (
-            edges.select("src", "dst")
-            .filter(F.col("src") != F.col("dst"))
-            .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
-            .distinct()
-        )
+        return edges.select("src", "dst")
+    return (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+
+
+def _oriented(e: DataFrame) -> DataFrame:
+    """Canonical undirected edges -> edges directed by (degree, id)
+    order. Callers persist ``e`` first: it feeds the degree aggregation
+    AND the orientation join (two consumers)."""
     deg = degrees(e)
     ds = deg.select(F.col("id").alias("src"), F.struct(F.col("degree"), F.col("id")).alias("_ks"))
     dd = deg.select(F.col("id").alias("dst"), F.struct(F.col("degree"), F.col("id")).alias("_kd"))
@@ -64,35 +69,169 @@ def _closed_wedges_of(d: DataFrame) -> DataFrame:
     return wedges.join(closer, ["a", "c"], "left_semi").select("a", "b", "c")
 
 
-def triangle_count(edges: DataFrame, assume_canonical: bool = False) -> int:
-    """Total number of triangles in the undirected graph."""
-    d = _oriented(edges, assume_canonical).persist()
+def triangle_count(
+    edges: DataFrame,
+    assume_canonical: bool = False,
+    local: bool | None = None,
+) -> int:
+    """Total number of triangles in the undirected graph.
+
+    ``local``: physical strategy — None (default) auto-selects the
+    single-task numpy kernel below ``LOCAL_TRI_MAX_EDGES`` canonical
+    edges (the count doubles as the kernel input's materialization),
+    True/False force. Results are identical (parity-tested)."""
+    e = _canonical(edges, assume_canonical).persist()
     try:
-        return _closed_wedges_of(d).count()
+        m = e.count()
+        if local is True or (local is None and m <= LOCAL_TRI_MAX_EDGES):
+            row = _local_triangle_counts(e).agg(
+                (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).alias("t")
+            ).collect()[0]
+            return int(row["t"])
+        d = _oriented(e).persist()
+        try:
+            return _closed_wedges_of(d).count()
+        finally:
+            d.unpersist()
     finally:
-        d.unpersist()
+        e.unpersist()
 
 
 def triangles_per_vertex(
-    edges: DataFrame, assume_canonical: bool = False
+    edges: DataFrame,
+    assume_canonical: bool = False,
+    local: bool | None = None,
 ) -> DataFrame:
     """DataFrame[id, triangles] — per-vertex triangle participation
-    (nx.triangles semantics; vertices in no triangle get 0)."""
-    d = _oriented(edges, assume_canonical).persist()
-    tri = _closed_wedges_of(d)
-    # one reference to the wedge pipeline (a 3-way unionByName would
-    # re-plan/recompute it three times)
-    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
-    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    (nx.triangles semantics; vertices in no triangle get 0).
+
+    ``local``: same adaptive gate as ``triangle_count``."""
+    e = _canonical(edges, assume_canonical).persist()
+    m = e.count()
+    if local is True or (local is None and m <= LOCAL_TRI_MAX_EDGES):
+        counts = _local_triangle_counts(e)
+    else:
+        d = _oriented(e).persist()
+        tri = _closed_wedges_of(d)
+        # one reference to the wedge pipeline (a 3-way unionByName would
+        # re-plan/recompute it three times)
+        corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
     out = (
         vertices_of(edges)
         .join(counts, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
-    # pin the result once so the oriented cache can be released
-    # immediately (same pattern as graph/cc.py:_decode_labels); the
-    # checkpoint blocks are the caller's result set, LRU-evicted after
-    # consumption
+    # pin the result once so the caches can be released immediately
+    # (same pattern as graph/cc.py:_decode_labels); the checkpoint
+    # blocks are the caller's result set, LRU-evicted after consumption
     out = out.localCheckpoint(eager=True)
-    d.unpersist()
+    if local is not True and not (local is None and m <= LOCAL_TRI_MAX_EDGES):
+        d.unpersist()
+    e.unpersist()
     return out
+
+
+# Size gate (canonical edge rows) below which a single vectorized task
+# beats the distributed two-join pipeline: the distributed path is ~6
+# stage barriers (degree agg, two orientation joins, wedge join,
+# closure semi-join, corner agg) of fixed scheduling cost, while the
+# kernel is one Arrow transfer + numpy sorts. MEASURED crossover on
+# random graphs at local[32] (best-of-2 warm walls, local vs
+# distributed): 500k edges 2.5s vs 4.3s; 2M 7.6 vs 7.1 (tied); 4M 13.1
+# vs 9.4; 8M 31.6 vs 15.3 — gate at the tie. Same adaptive pattern as
+# graph/pagerank.py LOCAL_PR_MAX_EDGES and graph/cc.py.
+LOCAL_TRI_MAX_EDGES = 2_000_000
+
+def _local_triangle_counts(canon: DataFrame) -> DataFrame:
+    """Single-task vectorized triangle counting over the (small)
+    canonical edge set: DataFrame[id, triangles], only vertices with
+    >= 1 triangle (the caller left-joins the vertex universe).
+
+    Same algorithm as the distributed path — degree-(id) orientation,
+    wedge generation, closure membership — but as numpy array passes:
+    factorize vertex ids, orient by (degree, code), group oriented
+    edges by source via one argsort, emit each source block's
+    out-neighbor pairs (np.triu_indices per block — block sizes are
+    bounded by O(sqrt m) thanks to the orientation), and close wedges
+    with a searchsorted membership test against the encoded edge set.
+    ``coalesce(1)`` narrowly merges the input partitions; the output id
+    keeps the input's vertex type (parity with the distributed output
+    is exact, pinned by tests)."""
+    id_type = canon.schema["src"].dataType.simpleString()
+    ids = canon.select("src", "dst")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts = [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        # factorize to dense codes
+        codes, uniques = pd.factorize(np.concatenate([src, dst]))
+        n = len(uniques)
+        u = codes[: len(src)].astype(np.int64)
+        v = codes[len(src):].astype(np.int64)
+        deg = np.bincount(u, minlength=n) + np.bincount(v, minlength=n)
+        # total order: (degree, code) — lower end becomes the wedge apex
+        order_key = deg.astype(np.int64) * (n + 1) + np.arange(n, dtype=np.int64)
+        ku, kv = order_key[u], order_key[v]
+        a = np.where(ku < kv, u, v)
+        b = np.where(ku < kv, v, u)
+        # rank in the total order for pair encoding (closure edges are
+        # oriented low->high in the SAME order, so encode (rank_a, rank_b))
+        rank = np.empty(n, dtype=np.int64)
+        rank[np.argsort(order_key)] = np.arange(n, dtype=np.int64)
+        ra, rb = rank[a], rank[b]
+        edge_keys = np.sort(ra * n + rb)
+        # group oriented edges by (apex, neighbor rank): one lexsort
+        # leaves every apex block's out-neighbors rank-sorted, so wedge
+        # pairs are (lower, higher) and match the closure encoding
+        o = np.lexsort((rb, ra))
+        a_s, b_s, rb_s = a[o], b[o], rb[o]
+        blocks, starts, counts = np.unique(
+            a_s, return_index=True, return_counts=True
+        )
+        # fully vectorized wedge generation: process all apex blocks of
+        # the SAME out-degree k at once — stack their neighbor slices
+        # into an (nblk, k) matrix by fancy indexing and take one
+        # triu_indices per k. Distinct out-degrees are few (bounded by
+        # O(sqrt m) via the orientation), so the python-level loop is
+        # over degrees, not vertices.
+        tri = np.zeros(n, dtype=np.int64)
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            sel = counts == k
+            s_k = starts[sel]
+            blk_k = blocks[sel]
+            idx = s_k[:, None] + np.arange(k)[None, :]
+            nb_m = b_s[idx]          # (nblk, k) neighbor codes
+            nrb_m = rb_s[idx]        # (nblk, k) neighbor ranks (sorted)
+            i, j = np.triu_indices(k, 1)
+            keys = (nrb_m[:, i] * n + nrb_m[:, j]).ravel()
+            pos = np.searchsorted(edge_keys, keys)
+            hit = (pos < len(edge_keys)) & (
+                edge_keys[np.minimum(pos, len(edge_keys) - 1)] == keys
+            )
+            if not hit.any():
+                continue
+            npairs = len(i)
+            apex = np.repeat(blk_k, npairs)[hit]
+            bcol = nb_m[:, i].ravel()[hit]
+            ccol = nb_m[:, j].ravel()[hit]
+            tri += np.bincount(apex, minlength=n)
+            tri += np.bincount(bcol, minlength=n)
+            tri += np.bincount(ccol, minlength=n)
+        nz = np.nonzero(tri)[0]
+        yield pd.DataFrame(
+            {"id": uniques[nz], "triangles": tri[nz].astype("int64")}
+        )
+
+    return ids.coalesce(1).mapInPandas(kernel, f"id {id_type}, triangles long")

@@ -95,7 +95,17 @@ def test_flag_misuse_would_double_count(spark):
     duplicate-invariant (per-src normalization treats multiplicity as
     summed weight), but triangle counting is not — each duplicate
     oriented edge re-emits every wedge through it."""
-    rows = [("a", "b"), ("a", "b"), ("b", "c"), ("a", "c")]
+    # triangle a-b-c with a duplicated (a,b) leg; pendant edges pump c's
+    # degree so the degree orientation makes a the wedge apex with
+    # out-neighbors [b, b, c] — the duplicated leg emits the a-b-c wedge
+    # twice on any strategy
+    rows = [
+        ("a", "b"), ("a", "b"), ("b", "c"), ("a", "c"),
+        ("c", "d"), ("c", "e"),
+    ]
     e = spark.createDataFrame(rows, "src string, dst string")
     assert triangle_count(e) == 1
-    assert triangle_count(e, assume_canonical=True) == 2
+    # under the violated contract the answer is wrong on BOTH physical
+    # strategies (undefined behavior; they may inflate differently)
+    assert triangle_count(e, assume_canonical=True, local=True) != 1
+    assert triangle_count(e, assume_canonical=True, local=False) != 1

@@ -17,11 +17,15 @@ SHAPES = {
 }
 
 
+@pytest.mark.parametrize("local", [True, False], ids=["local", "distributed"])
 @pytest.mark.parametrize("name", sorted(SHAPES))
-def test_triangles_match_networkx(spark, name):
+def test_triangles_match_networkx(spark, name, local):
     pairs = SHAPES[name]
     oracle = nx_triangles(pairs)
     edges = datagen.edges_df(spark, pairs)
-    got = {r["id"]: r["triangles"] for r in triangles_per_vertex(edges).collect()}
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangles_per_vertex(edges, local=local).collect()
+    }
     assert got == oracle
-    assert triangle_count(edges) == sum(oracle.values()) // 3
+    assert triangle_count(edges, local=local) == sum(oracle.values()) // 3
