@@ -107,29 +107,33 @@ def triangles_per_vertex(
 
     ``local``: same adaptive gate as ``triangle_count``."""
     e = _canonical(edges, assume_canonical).persist()
-    m = e.count()
-    if local is True or (local is None and m <= LOCAL_TRI_MAX_EDGES):
-        counts = _local_triangle_counts(e)
-    else:
-        d = _oriented(e).persist()
-        tri = _closed_wedges_of(d)
-        # one reference to the wedge pipeline (a 3-way unionByName would
-        # re-plan/recompute it three times)
-        corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
-        counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
-    out = (
-        vertices_of(edges)
-        .join(counts, "id", "left")
-        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
-    )
-    # pin the result once so the caches can be released immediately
-    # (same pattern as graph/cc.py:_decode_labels); the checkpoint
-    # blocks are the caller's result set, LRU-evicted after consumption
-    out = out.localCheckpoint(eager=True)
-    if local is not True and not (local is None and m <= LOCAL_TRI_MAX_EDGES):
-        d.unpersist()
-    e.unpersist()
-    return out
+    d = None
+    try:
+        m = e.count()
+        if local is True or (local is None and m <= LOCAL_TRI_MAX_EDGES):
+            counts = _local_triangle_counts(e)
+        else:
+            d = _oriented(e).persist()
+            tri = _closed_wedges_of(d)
+            # one reference to the wedge pipeline (a 3-way unionByName
+            # would re-plan/recompute it three times)
+            corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+            counts = corners.groupBy("id").agg(
+                F.count(F.lit(1)).alias("triangles")
+            )
+        out = (
+            vertices_of(edges)
+            .join(counts, "id", "left")
+            .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+        )
+        # pin the result once so the caches can be released immediately
+        # (same pattern as graph/cc.py:_decode_labels); the checkpoint
+        # blocks are the caller's result set, LRU-evicted after use
+        return out.localCheckpoint(eager=True)
+    finally:
+        if d is not None:
+            d.unpersist()
+        e.unpersist()
 
 
 # Size gate (canonical edge rows) below which a single vectorized task
