@@ -221,9 +221,7 @@ def sessionize(
         F.col(ts).alias("_ts"),
         F.when(
             F.col(ts).cast("long")
-            - F.lag(F.col(ts).cast("long")).over(
-                Window.partitionBy(key).orderBy(ts)
-            )
+            - F.lag(F.col(ts).cast("long")).over(w)
             >= gap,
             1,
         )

@@ -202,12 +202,17 @@ def _local_triangle_counts(canon: DataFrame) -> DataFrame:
         blocks, starts, counts = np.unique(
             a_s, return_index=True, return_counts=True
         )
-        # fully vectorized wedge generation: process all apex blocks of
-        # the SAME out-degree k at once — stack their neighbor slices
-        # into an (nblk, k) matrix by fancy indexing and take one
+        # fully vectorized wedge generation: process apex blocks of the
+        # SAME out-degree k together — stack their neighbor slices into
+        # an (nblk, k) matrix by fancy indexing and take one
         # triu_indices per k. Distinct out-degrees are few (bounded by
         # O(sqrt m) via the orientation), so the python-level loop is
-        # over degrees, not vertices.
+        # over degrees, not vertices. Each k is processed in CHUNKS of
+        # at most WEDGE_CHUNK materialized wedge keys: the edge-count
+        # gate does not bound total wedges (a dense core under 2M edges
+        # can hold ~1e9), so without the cap a single degree class
+        # could allocate tens of GB in this one task.
+        WEDGE_CHUNK = 16_000_000  # int64 keys per slab (~128 MB/array)
         tri = np.zeros(n, dtype=np.int64)
         for k in np.unique(counts):
             if k < 2:
@@ -215,24 +220,28 @@ def _local_triangle_counts(canon: DataFrame) -> DataFrame:
             sel = counts == k
             s_k = starts[sel]
             blk_k = blocks[sel]
-            idx = s_k[:, None] + np.arange(k)[None, :]
-            nb_m = b_s[idx]          # (nblk, k) neighbor codes
-            nrb_m = rb_s[idx]        # (nblk, k) neighbor ranks (sorted)
             i, j = np.triu_indices(k, 1)
-            keys = (nrb_m[:, i] * n + nrb_m[:, j]).ravel()
-            pos = np.searchsorted(edge_keys, keys)
-            hit = (pos < len(edge_keys)) & (
-                edge_keys[np.minimum(pos, len(edge_keys) - 1)] == keys
-            )
-            if not hit.any():
-                continue
             npairs = len(i)
-            apex = np.repeat(blk_k, npairs)[hit]
-            bcol = nb_m[:, i].ravel()[hit]
-            ccol = nb_m[:, j].ravel()[hit]
-            tri += np.bincount(apex, minlength=n)
-            tri += np.bincount(bcol, minlength=n)
-            tri += np.bincount(ccol, minlength=n)
+            step = max(1, WEDGE_CHUNK // npairs)
+            for lo in range(0, len(s_k), step):
+                s_c = s_k[lo : lo + step]
+                blk_c = blk_k[lo : lo + step]
+                idx = s_c[:, None] + np.arange(k)[None, :]
+                nb_m = b_s[idx]      # (chunk, k) neighbor codes
+                nrb_m = rb_s[idx]    # (chunk, k) neighbor ranks (sorted)
+                keys = (nrb_m[:, i] * n + nrb_m[:, j]).ravel()
+                pos = np.searchsorted(edge_keys, keys)
+                hit = (pos < len(edge_keys)) & (
+                    edge_keys[np.minimum(pos, len(edge_keys) - 1)] == keys
+                )
+                if not hit.any():
+                    continue
+                apex = np.repeat(blk_c, npairs)[hit]
+                bcol = nb_m[:, i].ravel()[hit]
+                ccol = nb_m[:, j].ravel()[hit]
+                tri += np.bincount(apex, minlength=n)
+                tri += np.bincount(bcol, minlength=n)
+                tri += np.bincount(ccol, minlength=n)
         nz = np.nonzero(tri)[0]
         yield pd.DataFrame(
             {"id": uniques[nz], "triangles": tri[nz].astype("int64")}

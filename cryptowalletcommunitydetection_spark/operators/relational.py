@@ -69,11 +69,15 @@ def recency_filter(
     Plan: per-key max as a whole-partition window, filtered — ONE scan
     and ONE exchange. The previous groupBy + semi-join-back evaluated
     the source twice (agg side and join side): at warehouse scale that
-    is two full passes over the table for one filter."""
+    is two full passes over the table for one filter. NULL keys are
+    dropped explicitly — the semi-join formulation (and the gate's
+    ``IN (SELECT …)`` oracle) never matches a NULL key, whereas a
+    window partition groups NULLs together and would retain them."""
     ts_type = df.schema[ts].dataType
     w = Window.partitionBy(key)
     return (
-        df.withColumn("_latest", F.max(ts).over(w))
+        df.filter(F.col(key).isNotNull())
+        .withColumn("_latest", F.max(ts).over(w))
         .filter(F.col("_latest") >= F.lit(cutoff).cast(ts_type))
         .drop("_latest")
     )

@@ -76,6 +76,11 @@ class EdgeLog:
         else:
             self._m = {"base": None, "deltas": [], "applied": []}
             self._persist()
+        # O(1) replay checks; the list in the manifest keeps order for
+        # humans. The manifest grows with ingest history (ids are short
+        # strings — MBs after millions of batches); acceptable for the
+        # plain-parquet fallback, a catalog MERGE subsumes it entirely.
+        self._applied = set(self._m["applied"])
 
     def _persist(self) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -91,7 +96,7 @@ class EdgeLog:
         """Write one ingest batch's canonical edges. Returns False (and
         writes nothing) if ``batch_id`` was already applied — replay
         safety for at-least-once upstream delivery."""
-        if batch_id in self._m["applied"]:
+        if batch_id in self._applied:
             return False
         seg = f"delta_{batch_id}"
         delta.select("src", "dst", "weight").write.mode("overwrite").parquet(
@@ -99,6 +104,7 @@ class EdgeLog:
         )
         self._m["deltas"].append(seg)
         self._m["applied"].append(batch_id)
+        self._applied.add(batch_id)
         self._persist()
         return True
 
@@ -122,24 +128,39 @@ class EdgeLog:
         return out.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
 
     # ----------------------------------------------------- maintenance
-    def compact(self) -> int:
+    def compact(self, vacuum: bool = True) -> int:
         """Materialize the merged view as the new base and retire the
         deltas. Returns the number of retired delta segments. The new
         base is written under a fresh versioned name first and the
         manifest swap is atomic, so readers of the OLD manifest keep a
-        consistent (old base + old deltas) view throughout."""
+        consistent (old base + old deltas) view throughout.
+
+        ``vacuum`` (default) deletes the retired delta segments and the
+        previous base AFTER the swap — without it every compaction
+        would leak a full table copy. A reader that loaded the old
+        manifest and is still mid-scan can fail under vacuum; pass
+        ``vacuum=False`` and collect garbage out-of-band when readers
+        overlap compactions (the catalog MERGE variant gets snapshot
+        isolation for free)."""
+        import shutil
+
         n = len(self._m["deltas"])
         if n == 0:
             return 0
-        version = sum(1 for s in self._m["applied"]) + (
-            0 if self._m["base"] is None else 1
-        )
+        old_base = self._m["base"]
+        retired = list(self._m["deltas"])
+        version = len(self._m["applied"]) + (0 if old_base is None else 1)
         new_base = f"base_v{version}"
         merged = self.read()
         merged.write.mode("overwrite").parquet(self._path(new_base))
         self._m["base"] = new_base
         self._m["deltas"] = []
         self._persist()
+        if vacuum:
+            for seg in retired:
+                shutil.rmtree(self._path(seg), ignore_errors=True)
+            if old_base is not None:
+                shutil.rmtree(self._path(old_base), ignore_errors=True)
         return n
 
 
@@ -187,10 +208,49 @@ def stream_files_into_log(
     requirement of ``incremental_derive`` holds as long as one commit's
     files land in one source file (the writer contract upstream).
 
+    Micro-batch ids are only unique WITHIN one checkpoint lineage: a
+    recreated checkpoint restarts them at 0 (and a fresh file-source
+    checkpoint re-reads every file, which would double-ingest the whole
+    table). To make that misuse loud instead of silently wrong, the log
+    and the checkpoint are BOUND on first use — a sentinel file in the
+    checkpoint dir carries an epoch id recorded in the manifest; a
+    stream whose checkpoint epoch does not match the log raises instead
+    of dropping or doubling batches.
+
     Trigger.AvailableNow: catch up on everything present, then stop —
     the scheduler-loop replacement (run it from cron / the reference's
     forever loop). Returns the finished StreamingQuery.
     """
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    sentinel = os.path.join(checkpoint_dir, "_edge_log_binding.json")
+    bound = log._m.get("stream_epoch")
+    if os.path.exists(sentinel):
+        with open(sentinel) as f:
+            epoch = json.load(f)["epoch"]
+        if bound is not None and bound != epoch:
+            raise ValueError(
+                f"checkpoint at {checkpoint_dir} (epoch {epoch}) is not the "
+                f"one bound to this edge log (epoch {bound}); streaming "
+                "batch ids would collide with already-applied ones. Use the "
+                "original checkpoint, or start a fresh EdgeLog."
+            )
+    else:
+        if bound is not None:
+            raise ValueError(
+                f"this edge log is bound to a previous checkpoint (epoch "
+                f"{bound}) but {checkpoint_dir} has no binding sentinel — a "
+                "fresh checkpoint would re-read every source file AND reuse "
+                "batch ids. Rebuild into a fresh EdgeLog instead."
+            )
+        epoch = uuid.uuid4().hex
+        with open(sentinel, "w") as f:
+            json.dump({"epoch": epoch, "log_root": log.root}, f)
+    if bound is None:
+        log._m["stream_epoch"] = epoch
+        log._persist()
+
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -201,7 +261,7 @@ def stream_files_into_log(
             spark,
             batch_df,
             log,
-            batch_id=f"stream_{batch_id}",
+            batch_id=f"stream_{epoch}_{batch_id}",
             max_entities_per_group=max_entities_per_group,
             engine=engine,
         )

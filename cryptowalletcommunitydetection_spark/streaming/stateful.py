@@ -69,10 +69,14 @@ def wallet_state_stream(
     reference's ``Wallet`` merge, held in the state store instead of
     Mongo.
 
-    Sink: ``foreachBatch`` appending ``(batch_id, …)`` parquet under
-    ``out_path`` — unlike the memory sink this supports checkpoint
-    recovery, so a restarted query resumes exactly-once instead of
-    refusing the checkpoint. Latest batch_id per wallet = current state.
+    Sink: ``foreachBatch`` writing each micro-batch to its own
+    ``out_path/batch_id=N`` partition directory with OVERWRITE — unlike
+    the memory sink this supports checkpoint recovery, and unlike a
+    blind append it is idempotent: foreachBatch is at-least-once, so a
+    crash between the parquet write and the streaming commit replays
+    batch N, and the replay overwrites the same directory instead of
+    duplicating rows. Read ``out_path`` with partition discovery; the
+    latest batch_id per wallet is its current state.
 
     Returns the started StreamingQuery; callers own
     ``awaitTermination``/``stop``.
@@ -130,9 +134,9 @@ def wallet_state_stream(
     )
 
     def sink(batch_df, batch_id):
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_path)
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
 
     return (
         out.writeStream.outputMode("update")

@@ -124,3 +124,33 @@ def test_stream_files_into_log_exactly_once(spark, tmp_path):
     assert log2._m["applied"] == applied_before
     assert _as_dict(log2.read()) == want
     files.unpersist()
+
+
+def test_stream_rejects_recreated_checkpoint(spark, tmp_path):
+    """A wiped/recreated checkpoint restarts micro-batch ids at 0 and
+    re-reads every source file; binding the log to the checkpoint epoch
+    turns that silent drop/double into a loud error."""
+    import shutil
+
+    import pytest
+
+    from cryptowalletcommunitydetection_spark.sources import (
+        stream_files_into_log,
+    )
+
+    files = _files(spark)
+    src = str(tmp_path / "files_src")
+    files.coalesce(1).write.parquet(src)
+    log = EdgeLog(spark, str(tmp_path / "elog"))
+    ck = str(tmp_path / "ck")
+    stream_files_into_log(spark, src, files.schema, log, ck)
+
+    shutil.rmtree(ck)
+    with pytest.raises(ValueError, match="bound to a previous checkpoint"):
+        stream_files_into_log(spark, src, files.schema, log, ck)
+    # a different checkpoint dir with its own sentinel is also rejected
+    ck2 = str(tmp_path / "ck2")
+    log2 = EdgeLog(spark, str(tmp_path / "elog2"))
+    stream_files_into_log(spark, src, files.schema, log2, ck2)
+    with pytest.raises(ValueError, match="not the one bound"):
+        stream_files_into_log(spark, src, files.schema, log, ck2)
