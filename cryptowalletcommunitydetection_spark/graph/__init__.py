@@ -12,7 +12,11 @@ from .edges import (  # noqa: F401
 from .cc import connected_components  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .lpa import label_propagation  # noqa: F401
-from .triangles import triangle_count, triangles_per_vertex  # noqa: F401
+from .triangles import (  # noqa: F401
+    clustering_coefficient,
+    triangle_count,
+    triangles_per_vertex,
+)
 from .rollup import bipartite_group_rollup  # noqa: F401
 from .skew import (  # noqa: F401
     degree_histogram,

@@ -248,3 +248,34 @@ def _local_triangle_counts(canon: DataFrame) -> DataFrame:
         )
 
     return ids.coalesce(1).mapInPandas(kernel, f"id {id_type}, triangles long")
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    assume_canonical: bool = False,
+    local: bool | None = None,
+) -> DataFrame:
+    """DataFrame[id, coeff] — local clustering coefficient,
+    nx.clustering semantics: 2*T(v) / (deg(v)*(deg(v)-1)), 0 for
+    degree < 2. Derived from the per-vertex triangle counts (adaptive
+    strategy via ``local``) joined with the degree table — one extra
+    |V|-sized join over ``triangles_per_vertex``, nothing new shuffles
+    at edge scale."""
+    e = _canonical(edges, assume_canonical)
+    tri = triangles_per_vertex(
+        edges, assume_canonical=assume_canonical, local=local
+    )
+    deg = degrees(e)
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                2.0 * F.col("triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

@@ -29,3 +29,24 @@ def test_triangles_match_networkx(spark, name, local):
     }
     assert got == oracle
     assert triangle_count(edges, local=local) == sum(oracle.values()) // 3
+
+
+@pytest.mark.parametrize("name", sorted(SHAPES))
+def test_clustering_coefficient_matches_networkx(spark, name):
+    import networkx as nx
+
+    from cryptowalletcommunitydetection_spark.graph.triangles import (
+        clustering_coefficient,
+    )
+
+    pairs = SHAPES[name]
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    want = nx.clustering(g)
+    got = {
+        r["id"]: r["coeff"]
+        for r in clustering_coefficient(datagen.edges_df(spark, pairs)).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
