@@ -117,13 +117,23 @@ class EdgeLog:
         parts = []
         if self._m["base"]:
             parts.append(self.spark.read.parquet(self._path(self._m["base"])))
-        parts += [self.spark.read.parquet(self._path(d)) for d in self._m["deltas"]]
+        if self._m["deltas"]:
+            # all pending deltas as ONE multi-path scan (same schema by
+            # construction) — a per-segment unionByName chain would grow
+            # the plan tree linearly in segment count and slow analysis
+            # long before execution does
+            parts.append(
+                self.spark.read.parquet(
+                    *[self._path(d) for d in self._m["deltas"]]
+                )
+            )
         if not parts:
             return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if len(parts) == 1:
+        out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        if not self._m["deltas"] or (
+            self._m["base"] is None and len(self._m["deltas"]) == 1
+        ):
+            # base-only, or a single delta segment: already canonical
             return out
         return out.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
 
