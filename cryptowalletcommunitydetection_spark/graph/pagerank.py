@@ -25,6 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass, field
 
@@ -85,6 +86,7 @@ def _local_pagerank(
     alpha: float,
     tol: float,
     max_iter: int,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Single-task power iteration over the (small) transition table.
 
@@ -105,6 +107,15 @@ def _local_pagerank(
 
     ``coalesce(1)`` is a narrow merge (no shuffle) of the transition
     table's partitions.
+
+    ``init_ranks`` (DataFrame[id, rank], optional) warm-starts the
+    iteration: rows ride the same input stream as dst-null rows whose
+    ``p`` slot carries the prior rank. Init rows never expand the vertex
+    universe (ids unknown to the current graph are dropped inside the
+    kernel), missing vertices start at 1/n, and the assembled vector is
+    renormalized to sum 1 — the fixed point is init-independent for
+    α < 1, so warm vs cold results agree within the tol contract while
+    a warm start near the solution saves most supersteps.
     """
     from pyspark.sql.types import (
         BooleanType, DoubleType, IntegerType, StructField, StructType,
@@ -126,16 +137,38 @@ def _local_pagerank(
                 F.lit(None).cast("double").alias("p"),
             )
         )
+    if init_ranks is not None:
+        # dst-null + p-NON-null = init row (p-null dst-null rows are the
+        # universe markers above); non-finite / non-positive priors are
+        # dropped here so they can never masquerade as markers
+        r0 = F.col("rank").cast("double")
+        marked = marked.unionByName(
+            init_ranks.filter(r0.isNotNull() & ~F.isnan(r0) & (r0 > 0)).select(
+                F.col("id").cast(id_type).alias("src"),
+                F.lit(None).cast(id_type).alias("dst"),
+                r0.alias("p"),
+            )
+        )
 
     def power_iter(batches):
         import numpy as np
         import pandas as pd
 
         srcs, dsts, ps, vids = [], [], [], []
+        init_keys, init_vals = [], []
         for pdf in batches:
             isv = pdf["dst"].isna()
             if isv.any():
-                vids.append(pdf.loc[isv, "src"].to_numpy())
+                vrows = pdf.loc[isv]
+                has_r = vrows["p"].notna()
+                if has_r.any():
+                    init_keys.append(vrows.loc[has_r, "src"].to_numpy())
+                    init_vals.append(
+                        vrows.loc[has_r, "p"].to_numpy(dtype=np.float64)
+                    )
+                    vrows = vrows.loc[~has_r]
+                if len(vrows):
+                    vids.append(vrows["src"].to_numpy())
                 e = pdf.loc[~isv]
             else:
                 e = pdf
@@ -177,6 +210,19 @@ def _local_pagerank(
         dang = ~has_out
 
         ranks = np.full(nn, 1.0 / nn, dtype=np.float64)
+        if init_keys:
+            ik = np.concatenate(init_keys)
+            iv = np.concatenate(init_vals)
+            # map prior ids onto the CURRENT universe; ids the graph no
+            # longer contains are dropped (get_indexer returns -1)
+            pos = pd.Index(ids).get_indexer(ik)
+            ok = pos >= 0
+            ranks[pos[ok]] = iv[ok]
+            s = float(ranks.sum())
+            if np.isfinite(s) and s > 0:
+                ranks /= s
+            else:  # degenerate prior: fall back to the cold start
+                ranks = np.full(nn, 1.0 / nn, dtype=np.float64)
         dmass = float(ranks[dang].sum())
         steps, converged = 0, False
         for k in range(max_iter):
@@ -225,8 +271,24 @@ def pagerank(
     encode: bool | None = None,
     broadcast_update_join: bool = False,
     assume_canonical: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Iterative PageRank. ``edges``: src, dst [, weight].
+
+    ``init_ranks`` (DataFrame[id, rank], optional) warm-starts superstep
+    0 from a prior rank vector — the incremental-maintenance path: after
+    an EdgeLog delta ingest, seed with the previous run's ranks and the
+    iteration re-converges in a fraction of the supersteps. The fixed
+    point is init-independent for α < 1, so warm and cold results agree
+    within the ``tol`` contract (tested); this changes WHERE the
+    iteration starts, never what it converges to. Semantics: ids the
+    current graph doesn't contain are dropped, vertices without a prior
+    start at 1/N, the assembled vector is renormalized to sum 1, and
+    non-finite / non-positive priors are discarded. Ignored when a
+    ``run_dir`` manifest resumes checkpointed state (the state
+    supersedes any prior); costs one extra Spark action at superstep 0
+    only (the normalization + dangling-mass aggregate, same shape as
+    the resume path's).
 
     ``directed=False`` treats the input as canonical undirected edges and
     symmetrizes (NetworkX Graph semantics). ``tol`` is the absolute L1
@@ -322,7 +384,9 @@ def pagerank(
         if strategy == "local" or probe_cache.count() <= LOCAL_PR_MAX_EDGES:
             # the kernel's output is materialized eagerly inside, so the
             # input cache can be dropped before returning
-            res = _local_pagerank(vertices, probe_cache, alpha, tol, max_iter)
+            res = _local_pagerank(
+                vertices, probe_cache, alpha, tol, max_iter, init_ranks
+            )
             probe_cache.unpersist()
             return res
         norm = probe_cache
@@ -501,6 +565,46 @@ def pagerank(
                 dmass = (
                     ranks.filter("_dang").agg(F.sum("rank")).collect()[0][0] or 0.0
                 )
+    if init_ranks is not None and start_k == 0:
+        # warm start (see docstring): join the prior onto the CURRENT
+        # universe, fill gaps with 1/n, renormalize. One extra action —
+        # the total and next dangling mass come out of a single aggregate.
+        r0 = F.col("rank").cast("double")
+        init = init_ranks.filter(r0.isNotNull() & ~F.isnan(r0) & (r0 > 0)).select(
+            F.col("id"), r0.alias("_r0")
+        )
+        if vdict is not None:
+            init = init.select(
+                F.xxhash64(F.col("id"), F.lit(42)).alias("id"), "_r0"
+            )
+        # defensive: a duplicated prior id would duplicate STATE rows and
+        # corrupt every superstep after the left join below — collapse to
+        # one row per id (max is as good as any: init only moves the
+        # starting point, never the fixed point)
+        init = init.groupBy("id").agg(F.max("_r0").alias("_r0"))
+        warm = ranks.join(init, "id", "left").select(
+            "id",
+            F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"),
+            *(["_dang"] if n_dangling > 0 else []),
+        )
+        aggs = [F.sum("rank").alias("_t")] + (
+            [F.sum(F.when(F.col("_dang"), F.col("rank"))).alias("_d")]
+            if n_dangling > 0
+            else []
+        )
+        row0 = warm.agg(*aggs).collect()[0]
+        total = float(row0["_t"] or 0.0)
+        if math.isfinite(total) and total > 0:
+            ranks = warm.select(
+                "id",
+                (F.col("rank") / F.lit(total)).alias("rank"),
+                *(["_dang"] if n_dangling > 0 else []),
+            )
+            dmass = (
+                float(row0["_d"] or 0.0) / total if n_dangling > 0 else 0.0
+            )
+        # else: degenerate prior — keep the uniform cold start
+
     ranks = ranks.localCheckpoint(eager=True) if manifest is None else ranks
 
     converged = False

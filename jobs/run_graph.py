@@ -42,6 +42,15 @@ def main():
     ap.add_argument("--weighted", action=argparse.BooleanOptionalAction, default=True,
                     help="--no-weighted ignores the weight column")
     ap.add_argument("--directed", action="store_true")
+    ap.add_argument("--init-ranks", default=None,
+                    help="pagerank only: parquet (id, rank) from a prior run; "
+                         "warm-starts the iteration (same fixed point, fewer "
+                         "supersteps after a small edge delta)")
+    ap.add_argument("--prior-labels", default=None,
+                    help="cc only: parquet (id, component) from a prior run; "
+                         "the input edge table is then treated as the DELTA "
+                         "(additions only) and labels are re-converged via "
+                         "condensation without reading the base edges")
     args = ap.parse_args()
 
     # build_session is a no-op wrapper when spark-submit already created
@@ -72,18 +81,29 @@ def main():
 
     summary: dict = {"algo": args.algo, "out": args.out}
     if args.algo == "pagerank":
+        init = spark.read.parquet(args.init_ranks) if args.init_ranks else None
         res = pagerank(
             spark, edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
             weighted=args.weighted, directed=args.directed, run_dir=args.run_dir,
-            assume_canonical=canonical and not args.directed,
+            assume_canonical=canonical and not args.directed, init_ranks=init,
         )
         res.ranks.write.mode("overwrite").parquet(args.out)
         summary.update(supersteps=res.supersteps, converged=res.converged)
     elif args.algo == "cc":
-        cc = connected_components(
-            spark, edges, max_iter=args.max_iter, run_dir=args.run_dir,
-            assume_canonical=canonical,
-        )
+        if args.prior_labels:
+            from cryptowalletcommunitydetection_spark.graph.incremental import (
+                incremental_components,
+            )
+
+            cc = incremental_components(
+                spark, spark.read.parquet(args.prior_labels), edges,
+                max_iter=args.max_iter,
+            )
+        else:
+            cc = connected_components(
+                spark, edges, max_iter=args.max_iter, run_dir=args.run_dir,
+                assume_canonical=canonical,
+            )
         cc.write.mode("overwrite").parquet(args.out)
     elif args.algo == "lpa":
         res = label_propagation(
