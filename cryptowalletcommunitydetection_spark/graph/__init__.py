@@ -10,6 +10,7 @@ from .edges import (  # noqa: F401
     with_content_sha256,
 )
 from .cc import connected_components  # noqa: F401
+from .kcore import core_numbers, degeneracy, k_core  # noqa: F401
 from .incremental import incremental_components  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .lpa import label_propagation  # noqa: F401

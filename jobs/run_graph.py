@@ -29,7 +29,8 @@ from pyspark.sql import SparkSession
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
-                    choices=["pagerank", "cc", "lpa", "triangles", "rollup"])
+                    choices=["pagerank", "cc", "lpa", "triangles", "rollup",
+                             "kcore"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -117,6 +118,15 @@ def main():
         triangles_per_vertex(
             edges, assume_canonical=canonical
         ).write.mode("overwrite").parquet(args.out)
+    elif args.algo == "kcore":
+        from cryptowalletcommunitydetection_spark.graph.kcore import core_numbers
+
+        res = core_numbers(
+            spark, edges, max_iter=args.max_iter, run_dir=args.run_dir,
+            assume_canonical=canonical,
+        )
+        res.cores.write.mode("overwrite").parquet(args.out)
+        summary.update(supersteps=res.supersteps, converged=res.converged)
     elif args.algo == "rollup":
         from pyspark.sql import functions as F
 
