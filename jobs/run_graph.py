@@ -30,7 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "rollup",
-                             "kcore"])
+                             "kcore", "clustering", "linkpred", "modularity"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -47,6 +47,9 @@ def main():
                     help="pagerank only: parquet (id, rank) from a prior run; "
                          "warm-starts the iteration (same fixed point, fewer "
                          "supersteps after a small edge delta)")
+    ap.add_argument("--labels", default=None,
+                    help="modularity only: parquet (id, label) — the "
+                         "partition to score (LPA/CC output)")
     ap.add_argument("--prior-labels", default=None,
                     help="cc only: parquet (id, component) from a prior run; "
                          "the input edge table is then treated as the DELTA "
@@ -134,6 +137,34 @@ def main():
             F.col("src").alias("from_address"), F.col("dst").alias("to_address")
         )
         bipartite_group_rollup(spark, pairs).write.mode("overwrite").parquet(args.out)
+    elif args.algo == "clustering":
+        from cryptowalletcommunitydetection_spark.graph.triangles import (
+            clustering_coefficient,
+        )
+
+        clustering_coefficient(
+            edges, assume_canonical=canonical
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.algo == "linkpred":
+        from cryptowalletcommunitydetection_spark.graph.linkpred import (
+            link_prediction_scores,
+        )
+
+        link_prediction_scores(
+            edges, assume_canonical=canonical
+        ).write.mode("overwrite").parquet(args.out)
+    elif args.algo == "modularity":
+        from cryptowalletcommunitydetection_spark.graph.quality import (
+            modularity_by_community,
+        )
+
+        if not args.labels:
+            raise SystemExit("--algo modularity requires --labels")
+        per = modularity_by_community(
+            edges, spark.read.parquet(args.labels),
+            weighted=args.weighted, assume_canonical=canonical,
+        )
+        per.write.mode("overwrite").parquet(args.out)
 
     print("JOB_SUMMARY " + json.dumps(summary))
 
