@@ -134,6 +134,28 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     timed("asof_join", lambda: EQ.q_asof_join(spark, sf_dir).count())
     timed("window_rank_lag", lambda: EQ.q_window_rank_lag(spark, sf_dir).count())
 
+    # round-3 graph extensions over the same persisted bipartite edge
+    # table (coreness/PPR) and the gate graphs (linkpred/modularity)
+    from cryptowalletcommunitydetection_spark.graph.kcore import core_numbers
+
+    timed(
+        "kcore",
+        lambda: core_numbers(spark, edges, assume_canonical=True).cores.count(),
+    )
+    seeds = edges.select(F.col("src").alias("id")).limit(16).withColumn(
+        "weight", F.lit(1.0)
+    )
+    timed(
+        "ppr_seeded",
+        lambda: pagerank(
+            spark, edges, tol=1e-6, weighted=True, max_iter=100,
+            assume_canonical=True, personalization=seeds,
+        ).ranks.count(),
+    )
+    timed("sessionize", lambda: EQ.q_sessionize(spark, sf_dir).count())
+    timed("adamic_adar", lambda: EQ.q_adamic_adar(spark, sf_dir).count())
+    timed("modularity_lpa", lambda: EQ.q_modularity_lpa(spark, sf_dir).count())
+
     # north-rule input path at scale: files table generated distributively,
     # edges derived through the real mapInPandas extraction + co-occurrence
     from cryptowalletcommunitydetection_spark.datagen import gen_files_distributed

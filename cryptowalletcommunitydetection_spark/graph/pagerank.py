@@ -87,6 +87,7 @@ def _local_pagerank(
     tol: float,
     max_iter: int,
     init_ranks: DataFrame | None = None,
+    personalization: DataFrame | None = None,
 ) -> PageRankResult:
     """Single-task power iteration over the (small) transition table.
 
@@ -129,12 +130,32 @@ def _local_pagerank(
         StructField("_conv", BooleanType()),
     ])
     marked = norm.select("src", "dst", "p")
+    if personalization is not None:
+        # a 4th marker channel rides only when personalization is used,
+        # so the default plan (and its job-count audit) is untouched:
+        # dst-null + p-null + s-NON-null = teleport-weight row
+        marked = marked.withColumn("s", F.lit(None).cast("double"))
     if vertices is not None:
+        verts_marked = vertices.select(
+            F.col("id").cast(id_type).alias("src"),
+            F.lit(None).cast(id_type).alias("dst"),
+            F.lit(None).cast("double").alias("p"),
+        )
+        if personalization is not None:
+            verts_marked = verts_marked.withColumn(
+                "s", F.lit(None).cast("double")
+            )
+        marked = marked.unionByName(verts_marked)
+    if personalization is not None:
+        w0 = F.col("weight").cast("double")
         marked = marked.unionByName(
-            vertices.select(
+            personalization.filter(
+                w0.isNotNull() & ~F.isnan(w0) & (w0 > 0)
+            ).select(
                 F.col("id").cast(id_type).alias("src"),
                 F.lit(None).cast(id_type).alias("dst"),
                 F.lit(None).cast("double").alias("p"),
+                w0.alias("s"),
             )
         )
     if init_ranks is not None:
@@ -142,13 +163,18 @@ def _local_pagerank(
         # universe markers above); non-finite / non-positive priors are
         # dropped here so they can never masquerade as markers
         r0 = F.col("rank").cast("double")
-        marked = marked.unionByName(
-            init_ranks.filter(r0.isNotNull() & ~F.isnan(r0) & (r0 > 0)).select(
-                F.col("id").cast(id_type).alias("src"),
-                F.lit(None).cast(id_type).alias("dst"),
-                r0.alias("p"),
-            )
+        init_marked = init_ranks.filter(
+            r0.isNotNull() & ~F.isnan(r0) & (r0 > 0)
+        ).select(
+            F.col("id").cast(id_type).alias("src"),
+            F.lit(None).cast(id_type).alias("dst"),
+            r0.alias("p"),
         )
+        if personalization is not None:
+            init_marked = init_marked.withColumn(
+                "s", F.lit(None).cast("double")
+            )
+        marked = marked.unionByName(init_marked)
 
     def power_iter(batches):
         import numpy as np
@@ -156,6 +182,7 @@ def _local_pagerank(
 
         srcs, dsts, ps, vids = [], [], [], []
         init_keys, init_vals = [], []
+        pers_keys, pers_vals = [], []
         for pdf in batches:
             isv = pdf["dst"].isna()
             if isv.any():
@@ -167,6 +194,14 @@ def _local_pagerank(
                         vrows.loc[has_r, "p"].to_numpy(dtype=np.float64)
                     )
                     vrows = vrows.loc[~has_r]
+                if "s" in vrows.columns:
+                    has_s = vrows["s"].notna()
+                    if has_s.any():
+                        pers_keys.append(vrows.loc[has_s, "src"].to_numpy())
+                        pers_vals.append(
+                            vrows.loc[has_s, "s"].to_numpy(dtype=np.float64)
+                        )
+                        vrows = vrows.loc[~has_s]
                 if len(vrows):
                     vids.append(vrows["src"].to_numpy())
                 e = pdf.loc[~isv]
@@ -223,12 +258,34 @@ def _local_pagerank(
                 ranks /= s
             else:  # degenerate prior: fall back to the cold start
                 ranks = np.full(nn, 1.0 / nn, dtype=np.float64)
+        svec = None
+        if pers_keys:
+            # teleport vector: weights mapped onto the CURRENT universe
+            # (ids outside the graph are dropped, like init priors),
+            # normalized to sum 1. Emptiness after the drop was already
+            # rejected driver-side; the guard here keeps the kernel total.
+            pk = np.concatenate(pers_keys)
+            pv = np.concatenate(pers_vals)
+            pos = pd.Index(ids).get_indexer(pk)
+            ok = pos >= 0
+            svec = np.zeros(nn, dtype=np.float64)
+            np.add.at(svec, pos[ok], pv[ok])
+            st = float(svec.sum())
+            if st > 0:
+                svec /= st
+            else:
+                svec = None
         dmass = float(ranks[dang].sum())
         steps, converged = 0, False
         for k in range(max_iter):
-            base = (1.0 - alpha) / nn + alpha * dmass / nn
             contrib = np.bincount(dst_i, weights=ranks[src_i] * p, minlength=nn)
-            new = base + alpha * contrib
+            if svec is None:
+                base = (1.0 - alpha) / nn + alpha * dmass / nn
+                new = base + alpha * contrib
+            else:
+                # nx personalization semantics (dangling = teleport):
+                # x' = (1-a)·s + a·(contrib + dmass·s)
+                new = ((1.0 - alpha) + alpha * dmass) * svec + alpha * contrib
             delta = float(np.abs(new - ranks).sum())
             ranks = new
             dmass = float(ranks[dang].sum())
@@ -272,8 +329,27 @@ def pagerank(
     broadcast_update_join: bool = False,
     assume_canonical: bool = False,
     init_ranks: DataFrame | None = None,
+    personalization: DataFrame | None = None,
 ) -> PageRankResult:
     """Iterative PageRank. ``edges``: src, dst [, weight].
+
+    ``personalization`` (DataFrame[id, weight], optional) makes the
+    teleport PERSONALIZED (nx.pagerank's ``personalization`` +
+    ``dangling`` defaults): the restart distribution s is the given
+    weights normalized to sum 1 over the vertices present in the graph,
+    and dangling mass redistributes proportionally to s —
+
+        x' = (1-α)·s + α·(Σ contrib + D·s)
+
+    The wallet-domain use: rank every wallet by proximity to a seed set
+    of known actors (exchange deposit wallets, flagged addresses) —
+    the seeded variant of the reference's global importance ranking.
+    Semantics: non-finite / non-positive weights are dropped, ids
+    absent from the graph are dropped, remaining weights need not be
+    normalized; raises ``ValueError`` when no teleport mass lands on
+    the graph (the iteration would be undefined). Vertices outside the
+    seed set get rank only through link structure — at convergence the
+    score IS the seeded random walk's stationary distribution.
 
     ``init_ranks`` (DataFrame[id, rank], optional) warm-starts superstep
     0 from a prior rank vector — the incremental-maintenance path: after
@@ -378,14 +454,47 @@ def pagerank(
             "strategy='local' is incompatible with run_dir checkpointing; "
             "use the distributed loop for resumable runs"
         )
+    pers_clean = None
+    if personalization is not None:
+        w0 = F.col("weight").cast("double")
+        pers_clean = (
+            personalization.filter(w0.isNotNull() & ~F.isnan(w0) & (w0 > 0))
+            # a duplicated seed id must not duplicate teleport rows:
+            # collapse by summing (a seed listed twice carries 2x mass,
+            # dict-merge semantics)
+            .groupBy("id")
+            .agg(F.sum(w0).alias("weight"))
+        )
+
     probe_cache = None
     if run_dir is None and strategy in ("auto", "local"):
         probe_cache = norm.persist(StorageLevel.MEMORY_AND_DISK)
         if strategy == "local" or probe_cache.count() <= LOCAL_PR_MAX_EDGES:
+            if pers_clean is not None:
+                # reject zero teleport mass BEFORE the kernel (the error
+                # must be a ValueError at the call site, not a task
+                # failure buried in an executor log). One small join
+                # against the cached transition table's endpoints.
+                uni = probe_cache.select(F.col("src").alias("id")).unionByName(
+                    probe_cache.select(F.col("dst").alias("id"))
+                )
+                if vertices is not None:
+                    uni = uni.unionByName(vertices.select("id"))
+                mass = pers_clean.join(uni.distinct(), "id", "left_semi").agg(
+                    F.sum("weight")
+                ).collect()[0][0]
+                if not mass or mass <= 0:
+                    probe_cache.unpersist()
+                    raise ValueError(
+                        "personalization carries no positive weight on any "
+                        "vertex of this graph — the teleport distribution "
+                        "would be empty"
+                    )
             # the kernel's output is materialized eagerly inside, so the
             # input cache can be dropped before returning
             res = _local_pagerank(
-                vertices, probe_cache, alpha, tol, max_iter, init_ranks
+                vertices, probe_cache, alpha, tol, max_iter, init_ranks,
+                pers_clean,
             )
             probe_cache.unpersist()
             return res
@@ -491,6 +600,33 @@ def pagerank(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_dangling = dangling.count()
 
+    # teleport vector for personalized runs: |V| rows of (id, _s), s
+    # normalized over the vertices actually in the graph. Built once,
+    # persisted (initial state + resume + warm start all join it); the
+    # per-superstep update reads _s from the STATE, never this table.
+    svec = None
+    if pers_clean is not None:
+        pc = pers_clean
+        if vdict is not None:
+            pc = pc.select(
+                F.xxhash64(F.col("id"), F.lit(42)).alias("id"), "weight"
+            )
+        raw_s = verts.join(pc, "id", "left").select(
+            "id", F.coalesce("weight", F.lit(0.0)).alias("_w")
+        )
+        tot = raw_s.agg(F.sum("_w")).collect()[0][0] or 0.0
+        if tot <= 0:
+            for cached in (verts, dangling, norm_edges, rt):
+                if cached is not None:
+                    cached.unpersist()
+            raise ValueError(
+                "personalization carries no positive weight on any vertex "
+                "of this graph — the teleport distribution would be empty"
+            )
+        svec = raw_s.select(
+            "id", (F.col("_w") / F.lit(tot)).alias("_s")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
     manifest = None
     start_k = 0
     # the dangling flag rides along in the state so the per-superstep agg
@@ -507,7 +643,15 @@ def pagerank(
         )
     else:
         ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
-    state_cols = ["id", "rank"] + (["_dang"] if n_dangling > 0 else [])
+    if svec is not None:
+        # the teleport weight rides in the state like _dang, so the
+        # per-superstep update stays a single join + projection
+        ranks = ranks.join(svec, "id")
+    state_cols = (
+        ["id", "rank"]
+        + (["_dang"] if n_dangling > 0 else [])
+        + (["_s"] if svec is not None else [])
+    )
     # exact: the initial state is uniform, so dangling mass = |D| / n
     dmass = n_dangling / n
     # max_iter is a stopping condition, not part of the computation's
@@ -516,6 +660,16 @@ def pagerank(
         "alpha": alpha, "tol": tol,
         "weighted": has_w, "directed": directed, "n": n,
     }
+    if svec is not None:
+        # the teleport vector is part of the run's identity: a resume
+        # against different seeds must start fresh, not serve the old
+        # seeds' checkpoints. ids are unique (verts), so bit_xor cannot
+        # suffer duplicate-row cancellation.
+        psk = svec.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("id", "_s")).alias("h"),
+        ).collect()[0]
+        params = {**params, "pers_rows": psk["n"], "pers_hash": psk["h"]}
     if run_dir is not None:
         # key the manifest on the input identity so a different edge table
         # in the same run_dir starts fresh. The hash must cover the
@@ -546,6 +700,10 @@ def pagerank(
                 )
             else:
                 ranks = loaded
+            if svec is not None:
+                # _s is derived state: rebuild from the (identity-checked)
+                # teleport vector rather than trusting stored columns
+                ranks = ranks.join(svec, "id")
             start_k = last + 1
             done = [
                 s for s in manifest.supersteps
@@ -586,6 +744,7 @@ def pagerank(
             "id",
             F.coalesce("_r0", F.lit(1.0 / n)).alias("rank"),
             *(["_dang"] if n_dangling > 0 else []),
+            *(["_s"] if svec is not None else []),
         )
         aggs = [F.sum("rank").alias("_t")] + (
             [F.sum(F.when(F.col("_dang"), F.col("rank"))).alias("_d")]
@@ -599,6 +758,7 @@ def pagerank(
                 "id",
                 (F.col("rank") / F.lit(total)).alias("rank"),
                 *(["_dang"] if n_dangling > 0 else []),
+                *(["_s"] if svec is not None else []),
             )
             dmass = (
                 float(row0["_d"] or 0.0) / total if n_dangling > 0 else 0.0
@@ -686,8 +846,13 @@ def pagerank(
                 )
             # dmass is the dangling mass of the CURRENT state, produced by the
             # previous superstep's fused aggregate (uniform-state closed form
-            # at k=0) — no extra per-superstep action
-            base = (1.0 - alpha) / n + alpha * dmass / n
+            # at k=0) — no extra per-superstep action. With a teleport
+            # vector the base is per-vertex ((1-α)+α·D)·s(v), read from
+            # the _s state column — same single join + projection.
+            if svec is not None:
+                base_expr = ranks["_s"] * F.lit((1.0 - alpha) + alpha * dmass)
+            else:
+                base_expr = F.lit((1.0 - alpha) / n + alpha * dmass / n)
             # join contrib back to the rank table (covers every vertex) and
             # carry the previous rank along — the L1 delta then needs no
             # second |V|⋈|V| join, just a single-stage agg over the
@@ -709,11 +874,12 @@ def pagerank(
             )
             new_ranks = ranks.join(cside, ranks.id == cside.dst, "left").select(
                 ranks.id.alias("id"),
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
+                (base_expr + F.lit(alpha) * F.coalesce(F.col("_c"), F.lit(0.0))).alias(
                     "rank"
                 ),
                 F.col("rank").alias("_old"),
                 *([ranks["_dang"]] if n_dangling > 0 else []),
+                *([ranks["_s"]] if svec is not None else []),
             )
             if manifest is not None:
                 new_ranks = manifest.checkpoint(new_ranks, k)
@@ -762,6 +928,8 @@ def pagerank(
     norm_edges.unpersist()
     if rt is not None:
         rt.unpersist()
+    if svec is not None:
+        svec.unpersist()
     metrics = manifest.metrics() if manifest is not None else local_metrics
     return PageRankResult(
         _decode_ranks(ranks.select("id", "rank"), vdict), steps, converged, metrics

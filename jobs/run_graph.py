@@ -47,6 +47,10 @@ def main():
                     help="pagerank only: parquet (id, rank) from a prior run; "
                          "warm-starts the iteration (same fixed point, fewer "
                          "supersteps after a small edge delta)")
+    ap.add_argument("--seeds", default=None,
+                    help="pagerank only: parquet (id, weight) — personalized "
+                         "teleport (rank every vertex by seeded-random-walk "
+                         "proximity to the seed set)")
     ap.add_argument("--labels", default=None,
                     help="modularity only: parquet (id, label) — the "
                          "partition to score (LPA/CC output)")
@@ -86,10 +90,12 @@ def main():
     summary: dict = {"algo": args.algo, "out": args.out}
     if args.algo == "pagerank":
         init = spark.read.parquet(args.init_ranks) if args.init_ranks else None
+        pers = spark.read.parquet(args.seeds) if args.seeds else None
         res = pagerank(
             spark, edges, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
             weighted=args.weighted, directed=args.directed, run_dir=args.run_dir,
             assume_canonical=canonical and not args.directed, init_ranks=init,
+            personalization=pers,
         )
         res.ranks.write.mode("overwrite").parquet(args.out)
         summary.update(supersteps=res.supersteps, converged=res.converged)

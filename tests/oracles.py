@@ -32,11 +32,15 @@ def nx_components(pairs) -> dict:
     return out
 
 
-def nx_pagerank(pairs, alpha=0.85, weighted=False, directed=False) -> dict:
+def nx_pagerank(
+    pairs, alpha=0.85, weighted=False, directed=False, personalization=None
+) -> dict:
     """NetworkX-semantics PageRank in pure numpy (nx's own pagerank needs
     scipy, absent here): right-stochastic transition from out-weight
     sums, dangling mass redistributed uniformly, power iteration to
-    L1 < 1e-12. Undirected graphs are symmetrized like nx.Graph."""
+    L1 < 1e-12. Undirected graphs are symmetrized like nx.Graph.
+    ``personalization``: {vertex: weight} — teleport AND dangling
+    redistribution follow the normalized weights (nx defaults)."""
     import numpy as np
 
     w = defaultdict(float)
@@ -63,10 +67,20 @@ def nx_pagerank(pairs, alpha=0.85, weighted=False, directed=False) -> dict:
     out = m.sum(axis=1)
     dangling = out == 0
     p = np.divide(m, np.where(dangling, 1.0, out)[:, None])
+    s = None
+    if personalization is not None:
+        s = np.zeros(n)
+        for v, wt in personalization.items():
+            if v in idx and wt > 0:
+                s[idx[v]] += float(wt)
+        s /= s.sum()
     x = np.full(n, 1.0 / n)
     for _ in range(10000):
         dmass = x[dangling].sum()
-        xn = (1 - alpha) / n + alpha * (x @ p + dmass / n)
+        if s is None:
+            xn = (1 - alpha) / n + alpha * (x @ p + dmass / n)
+        else:
+            xn = (1 - alpha) * s + alpha * (x @ p + dmass * s)
         if np.abs(xn - x).sum() < 1e-12:
             x = xn
             break
