@@ -13,6 +13,7 @@ from .cc import connected_components  # noqa: F401
 from .kcore import core_numbers, degeneracy, k_core  # noqa: F401
 from .incremental import incremental_components  # noqa: F401
 from .linkpred import link_prediction_scores  # noqa: F401
+from .paths import multi_source_distances  # noqa: F401
 from .quality import modularity, modularity_by_community  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .lpa import label_propagation  # noqa: F401

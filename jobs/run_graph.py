@@ -30,7 +30,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "rollup",
-                             "kcore", "clustering", "linkpred", "modularity"])
+                             "kcore", "clustering", "linkpred", "modularity",
+                             "bfs"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -159,6 +160,18 @@ def main():
         link_prediction_scores(
             edges, assume_canonical=canonical
         ).write.mode("overwrite").parquet(args.out)
+    elif args.algo == "bfs":
+        from cryptowalletcommunitydetection_spark.graph.paths import (
+            multi_source_distances,
+        )
+
+        if not args.seeds:
+            raise SystemExit("--algo bfs requires --seeds (parquet with id)")
+        d = multi_source_distances(
+            spark, edges, spark.read.parquet(args.seeds),
+            directed=args.directed, assume_canonical=canonical,
+        )
+        d.write.mode("overwrite").parquet(args.out)
     elif args.algo == "modularity":
         from cryptowalletcommunitydetection_spark.graph.quality import (
             modularity_by_community,
