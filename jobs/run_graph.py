@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "rollup",
                              "kcore", "clustering", "linkpred", "modularity",
-                             "bfs"])
+                             "bfs", "betweenness"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -172,6 +172,21 @@ def main():
             directed=args.directed, assume_canonical=canonical,
         )
         d.write.mode("overwrite").parquet(args.out)
+    elif args.algo == "betweenness":
+        from cryptowalletcommunitydetection_spark.graph.centrality import (
+            betweenness_from_sources,
+        )
+
+        if not args.seeds:
+            raise SystemExit(
+                "--algo betweenness requires --seeds (the sampled pivot set; "
+                "scale results by n/|seeds| for the estimator)"
+            )
+        bc = betweenness_from_sources(
+            spark, edges, spark.read.parquet(args.seeds),
+            directed=args.directed, assume_canonical=canonical,
+        )
+        bc.write.mode("overwrite").parquet(args.out)
     elif args.algo == "modularity":
         from cryptowalletcommunitydetection_spark.graph.quality import (
             modularity_by_community,
