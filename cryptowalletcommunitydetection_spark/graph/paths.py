@@ -130,3 +130,28 @@ def eccentricity_lower_bound(
     d = multi_source_distances(spark, edges, probe, **kwargs)
     row = d.agg(F.max("dist").alias("m")).collect()[0]
     return int(row["m"] or 0)
+
+
+def double_sweep_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    probe: DataFrame,
+    assume_canonical: bool = False,
+    max_iter: int = 10_000,
+) -> int:
+    """Double-sweep diameter lower bound (Magnien, Latapy, Habib 2009):
+    BFS from a probe vertex, then BFS again from the farthest vertex
+    found — the second sweep's eccentricity. Exact on trees, and the
+    standard tight estimator on real-world graphs; undirected only
+    (the sweep-back argument needs symmetric reachability). ``probe``
+    may hold several start vertices — the sweep restarts from the
+    single farthest vertex of the combined first pass."""
+    first = multi_source_distances(
+        spark, edges, probe,
+        assume_canonical=assume_canonical, max_iter=max_iter,
+    )
+    far = first.orderBy(F.desc("dist"), F.asc("id")).limit(1).select("id")
+    return eccentricity_lower_bound(
+        spark, edges, far,
+        assume_canonical=assume_canonical, max_iter=max_iter,
+    )

@@ -109,3 +109,24 @@ def test_eccentricity_lower_bound(spark):
         )
         == 6
     )
+
+
+def test_double_sweep_diameter(spark):
+    from cryptowalletcommunitydetection_spark.graph.paths import (
+        double_sweep_diameter,
+    )
+
+    # exact on trees/paths; on the ring the double sweep returns the
+    # true diameter as well
+    pairs = datagen.ring(12)
+    edges = datagen.edges_df(spark, pairs)
+    assert double_sweep_diameter(spark, edges, _src_df(spark, [3])) == 6
+    # path graph: start mid-path, sweep finds an end, second sweep
+    # spans the whole path
+    path = [(i, i + 1) for i in range(9)]
+    g = _g(path)
+    edges = datagen.edges_df(spark, path)
+    assert (
+        double_sweep_diameter(spark, edges, _src_df(spark, [4]))
+        == nx.diameter(g)
+    )
