@@ -132,6 +132,33 @@ def eccentricity_lower_bound(
     return int(row["m"] or 0)
 
 
+def harmonic_centrality_from_sources(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    directed: bool = False,
+    assume_canonical: bool = False,
+    max_iter: int = 10_000,
+) -> DataFrame:
+    """DataFrame[id, harmonic] — Σ_{s in sources, s != v, d(s,v) < ∞}
+    1/d(s, v), i.e. ``nx.harmonic_centrality(G, sources=S)`` computed
+    from ONE multi-source per-landmark BFS (the pivot-sampled estimator
+    of Eppstein-Wang style: scale by n/|S| for the full-graph figure —
+    harmonic handles disconnected graphs where classic closeness
+    breaks, which is why it is the landmark default here). Same
+    |S|·|reached| state cost as every landmark operator, stated not
+    sampled-away."""
+    d = multi_source_distances(
+        spark, edges, sources, directed=directed, per_source=True,
+        assume_canonical=assume_canonical, max_iter=max_iter,
+    )
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("dist")).alias("harmonic"))
+    )
+
+
 def double_sweep_diameter(
     spark: SparkSession,
     edges: DataFrame,

@@ -130,3 +130,23 @@ def test_double_sweep_diameter(spark):
         double_sweep_diameter(spark, edges, _src_df(spark, [4]))
         == nx.diameter(g)
     )
+
+
+def test_harmonic_centrality_from_sources(spark):
+    from cryptowalletcommunitydetection_spark.graph.paths import (
+        harmonic_centrality_from_sources,
+    )
+
+    pairs = datagen.erdos_renyi(30, 0.12, seed=5)
+    g = _g(pairs)
+    verts = sorted(g)
+    seeds = [verts[0], verts[7], verts[-1]]
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality_from_sources(
+            spark, datagen.edges_df(spark, pairs), _src_df(spark, seeds)
+        ).collect()
+    }
+    want = nx.harmonic_centrality(g, sources=seeds)
+    for v, h in want.items():
+        assert got.get(v, 0.0) == pytest.approx(h, abs=1e-9), v
