@@ -142,8 +142,15 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         "kcore",
         lambda: core_numbers(spark, edges, assume_canonical=True).cores.count(),
     )
-    seeds = edges.select(F.col("src").alias("id")).limit(16).withColumn(
-        "weight", F.lit(1.0)
+    # deterministic seed set: the 16 smallest distinct src ids (a bare
+    # limit() without ordering made the seed set — and therefore the
+    # ppr_seeded wall — nondeterministic across runs/partitionings)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(16)
+        .withColumn("weight", F.lit(1.0))
     )
     timed(
         "ppr_seeded",
@@ -165,11 +172,24 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     files = gen_files_distributed(
         spark, n_files=n_files, n_repos=10_000, n_entities=50_000
     )
-    s0, t0 = _steal(), time.monotonic()
-    n_derived = derive_edges(files).count()
-    files_wall = round(time.monotonic() - t0, 3)  # reported separately —
-    # not part of the headline total (different workload axis)
-    steals["files_pipeline"] = _steal() - s0
+    # min-of-repeats, steal-aware (same protocol as bench_scripts/
+    # scaling.py): the r03 one-shot number absorbed 298 steal jiffies —
+    # it measured a neighbor tenant, not this engine. Each repeat is a
+    # full uncached re-derivation; transient host contention only ever
+    # inflates a wall, so the min is the noise-robust estimate. A third
+    # repeat runs only if both of the first two were contaminated.
+    f_walls, f_steals = [], []
+    n_derived = 0
+    for rep in range(3):
+        s0, t0 = _steal(), time.monotonic()
+        n_derived = derive_edges(files).count()
+        f_walls.append(round(time.monotonic() - t0, 3))
+        f_steals.append(_steal() - s0)
+        if rep >= 1 and min(f_steals) < 100:
+            break
+    files_wall = min(f_walls)  # reported separately — not part of the
+    # headline total (different workload axis)
+    steals["files_pipeline"] = f_steals[f_walls.index(files_wall)]
 
     return {
         "metric": "headline_queries_wall",
@@ -202,6 +222,8 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             "n_files": n_files,
             "edges_derived": n_derived,
             "wall_sec": files_wall,
+            "walls_per_repeat": f_walls,
+            "steals_per_repeat": f_steals,
             "files_per_sec": round(n_files / max(files_wall, 1e-9), 1),
         },
     }

@@ -111,9 +111,13 @@ def betweenness_from_sources(
     # ---- backward: delta by descending level -------------------------
     # settled is pinned; level slices filter it (no reshuffle of edges).
     # delta starts 0 at the deepest level; one join per level TOTAL
-    # (all sources share the sweep).
-    delta: DataFrame | None = None  # rows (source, id, delta) of levels > d
-    acc: DataFrame | None = None  # accumulated per-vertex dependencies
+    # (all sources share the sweep). Each level's contribution is pinned
+    # once and collected in a list; the accumulated dependency table is
+    # built by ONE union after the loop (re-unioning + re-checkpointing
+    # the accumulator per level copied O(depth²) rows and leaked a
+    # checkpoint per level).
+    delta: DataFrame | None = None  # rows (source, id, delta) of level d+1
+    contribs: list[DataFrame] = []  # per-level pinned dependency rows
     for d in range(max_dist - 1, -1, -1):
         lv = settled.filter(F.col("dist") == d).select(
             "source", "id", "sigma"
@@ -143,15 +147,17 @@ def betweenness_from_sources(
             )
         )
         contrib = contrib.localCheckpoint(eager=True)
-        new_acc = contrib if acc is None else acc.unionByName(contrib)
-        acc = new_acc.localCheckpoint(eager=True) if acc is not None else contrib
+        contribs.append(contrib)
         delta = contrib
 
     e.unpersist()
     verts = settled.select("id").distinct()
-    if acc is None:
+    if not contribs:
         out = verts.select("id", F.lit(0.0).alias("betweenness"))
     else:
+        acc = contribs[0]
+        for c in contribs[1:]:
+            acc = acc.unionByName(c)
         # Brandes excludes v == s PER RUN (a source still accrues
         # betweenness from OTHER sources' sweeps)
         dep = (
@@ -162,7 +168,14 @@ def betweenness_from_sources(
         out = verts.join(dep, "id", "left").select(
             "id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
         )
+    # pin the result, then release EVERY intermediate checkpoint — the
+    # settled/frontier tables and the per-level contribs are superseded
+    # by out; repeated calls in one session no longer accumulate blocks
     out = out.localCheckpoint(eager=True)
     for p in pins:
         p.unpersist()
+    for c in contribs:
+        c.unpersist()
+    settled.unpersist()
+    frontier.unpersist()
     return out

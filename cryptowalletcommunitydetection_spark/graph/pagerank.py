@@ -473,17 +473,23 @@ def pagerank(
             if pers_clean is not None:
                 # reject zero teleport mass BEFORE the kernel (the error
                 # must be a ValueError at the call site, not a task
-                # failure buried in an executor log). One small join
-                # against the cached transition table's endpoints.
+                # failure buried in an executor log). Existence suffices:
+                # pers_clean is already positive-weight filtered, so ONE
+                # matched endpoint means positive mass — a broadcast semi
+                # join stays map-side over the cached transition scan
+                # (the previous |2E|-row distinct + shuffle made this
+                # probe the dominant cost of a seeded local run). Seed
+                # sets are bounded by contract (a list of known actors),
+                # so broadcasting them is safe on this ≤4M-edge path.
                 uni = probe_cache.select(F.col("src").alias("id")).unionByName(
                     probe_cache.select(F.col("dst").alias("id"))
                 )
                 if vertices is not None:
                     uni = uni.unionByName(vertices.select("id"))
-                mass = pers_clean.join(uni.distinct(), "id", "left_semi").agg(
-                    F.sum("weight")
-                ).collect()[0][0]
-                if not mass or mass <= 0:
+                hit = uni.join(
+                    F.broadcast(pers_clean.select("id")), "id", "left_semi"
+                )
+                if hit.isEmpty():
                     probe_cache.unpersist()
                     raise ValueError(
                         "personalization carries no positive weight on any "
@@ -548,7 +554,42 @@ def pagerank(
         if vertices is not None:
             verts = verts.unionByName(vertices.select("id")).distinct()
     verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
-    n = verts.count()
+    # teleport vector for personalized runs: |V| rows of (id, _s), s
+    # normalized over the vertices actually in the graph. Built once,
+    # persisted (initial state + resume + warm start all join it); the
+    # per-superstep update reads _s from the STATE, never this table.
+    # The normalizing mass and the vertex count come out of ONE fused
+    # aggregate over the joined table (a seeded run used to pay a
+    # separate driver action for each).
+    svec = None
+    if pers_clean is not None:
+        pc = pers_clean
+        if vdict is not None:
+            pc = pc.select(
+                F.xxhash64(F.col("id"), F.lit(42)).alias("id"), "weight"
+            )
+        raw_s = verts.join(pc, "id", "left").select(
+            "id", F.coalesce("weight", F.lit(0.0)).alias("_w")
+        )
+        row0 = raw_s.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_w").alias("t")
+        ).collect()[0]
+        n = int(row0["n"])
+        tot = float(row0["t"] or 0.0)
+        if n > 0 and tot <= 0:
+            verts.unpersist()
+            if probe_cache is not None:
+                probe_cache.unpersist()
+            raise ValueError(
+                "personalization carries no positive weight on any vertex "
+                "of this graph — the teleport distribution would be empty"
+            )
+        if n > 0:
+            svec = raw_s.select(
+                "id", (F.col("_w") / F.lit(tot)).alias("_s")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        n = verts.count()
     if n == 0:
         empty = _decode_ranks(verts.select("id", F.lit(0.0).alias("rank")), vdict)
         verts.unpersist()
@@ -600,33 +641,6 @@ def pagerank(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_dangling = dangling.count()
 
-    # teleport vector for personalized runs: |V| rows of (id, _s), s
-    # normalized over the vertices actually in the graph. Built once,
-    # persisted (initial state + resume + warm start all join it); the
-    # per-superstep update reads _s from the STATE, never this table.
-    svec = None
-    if pers_clean is not None:
-        pc = pers_clean
-        if vdict is not None:
-            pc = pc.select(
-                F.xxhash64(F.col("id"), F.lit(42)).alias("id"), "weight"
-            )
-        raw_s = verts.join(pc, "id", "left").select(
-            "id", F.coalesce("weight", F.lit(0.0)).alias("_w")
-        )
-        tot = raw_s.agg(F.sum("_w")).collect()[0][0] or 0.0
-        if tot <= 0:
-            for cached in (verts, dangling, norm_edges, rt):
-                if cached is not None:
-                    cached.unpersist()
-            raise ValueError(
-                "personalization carries no positive weight on any vertex "
-                "of this graph — the teleport distribution would be empty"
-            )
-        svec = raw_s.select(
-            "id", (F.col("_w") / F.lit(tot)).alias("_s")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-
     manifest = None
     start_k = 0
     # the dangling flag rides along in the state so the per-superstep agg
@@ -660,17 +674,19 @@ def pagerank(
         "alpha": alpha, "tol": tol,
         "weighted": has_w, "directed": directed, "n": n,
     }
-    if svec is not None:
-        # the teleport vector is part of the run's identity: a resume
-        # against different seeds must start fresh, not serve the old
-        # seeds' checkpoints. ids are unique (verts), so bit_xor cannot
-        # suffer duplicate-row cancellation.
-        psk = svec.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("id", "_s")).alias("h"),
-        ).collect()[0]
-        params = {**params, "pers_rows": psk["n"], "pers_hash": psk["h"]}
     if run_dir is not None:
+        if svec is not None:
+            # the teleport vector is part of the run's identity: a resume
+            # against different seeds must start fresh, not serve the old
+            # seeds' checkpoints. ids are unique (verts), so bit_xor
+            # cannot suffer duplicate-row cancellation. Only checkpointed
+            # runs pay this action — an unmanaged seeded run has no
+            # manifest to key.
+            psk = svec.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("id", "_s")).alias("h"),
+            ).collect()[0]
+            params = {**params, "pers_rows": psk["n"], "pers_hash": psk["h"]}
         # key the manifest on the input identity so a different edge table
         # in the same run_dir starts fresh. The hash must cover the
         # weight-bearing column (p) — same topology with changed weights is

@@ -83,19 +83,23 @@ def modularity_by_community(
             / 2
         ).alias("internal_weight"),
     )
-    # |communities| rows: pin eagerly so m comes from the SAME pass over
-    # the edge table (sum of degree sums = 2m), not a second scan
-    per = per.localCheckpoint(eager=True)
-    m_row = per.agg(F.sum("degree_sum").alias("m2")).collect()[0]
-    m = float(m_row["m2"] or 0.0) / 2.0
+    # |communities| rows by definition — collect to the driver so m
+    # comes from the SAME pass over the edge table (sum of degree sums
+    # = 2m) and NOTHING stays pinned after the call (an eager
+    # localCheckpoint here leaked one small block per call for the
+    # session lifetime). The result is re-created as a local DataFrame:
+    # bounded driver memory, same schema, zero lingering cache state.
+    rows = per.collect()
+    m = sum(r["degree_sum"] for r in rows) / 2.0
+    local = per.sparkSession.createDataFrame(rows, per.schema)
     if m == 0.0:
-        return per.select(
+        return local.select(
             "label",
             F.col("internal_weight"),
             F.col("degree_sum"),
             F.lit(0.0).alias("q_contrib"),
         )
-    return per.select(
+    return local.select(
         "label",
         "internal_weight",
         "degree_sum",

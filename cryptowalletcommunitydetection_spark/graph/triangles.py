@@ -73,43 +73,73 @@ def triangle_count(
     edges: DataFrame,
     assume_canonical: bool = False,
     local: bool | None = None,
+    edge_count: int | None = None,
 ) -> int:
     """Total number of triangles in the undirected graph.
 
     ``local``: physical strategy — None (default) auto-selects the
     single-task numpy kernel below ``LOCAL_TRI_MAX_EDGES`` canonical
-    edges (the count doubles as the kernel input's materialization),
-    True/False force. Results are identical (parity-tested)."""
-    e = _canonical(edges, assume_canonical).persist()
-    try:
+    edges, True/False force. Results are identical (parity-tested).
+    ``edge_count``: caller-supplied canonical edge count — skips the
+    probe job entirely (callers that already counted the table, e.g.
+    the bench harness or a rollup that ran CC first, pay no second
+    action for the gate). The kernel path consumes the edge table
+    exactly ONCE, so when the path is already decided (``local`` forced
+    or ``edge_count`` given) nothing is persisted or probed."""
+    e = _canonical(edges, assume_canonical)
+    m = edge_count
+    pinned = False
+    if local is None and m is None:
+        # the probe doubles as the chosen path's materialization: the
+        # cache it fills feeds either the kernel's single scan or the
+        # distributed pipeline's multi-consumption
+        e = e.persist()
+        pinned = True
         m = e.count()
+    try:
         if local is True or (local is None and m <= LOCAL_TRI_MAX_EDGES):
             row = _local_triangle_counts(e).agg(
                 (F.coalesce(F.sum("triangles"), F.lit(0)) / 3).alias("t")
             ).collect()[0]
             return int(row["t"])
+        if not pinned:
+            # distributed path consumes e several times (degrees + both
+            # orientation joins); lazy persist — the first job fills it
+            e = e.persist()
+            pinned = True
         d = _oriented(e).persist()
         try:
             return _closed_wedges_of(d).count()
         finally:
             d.unpersist()
     finally:
-        e.unpersist()
+        if pinned:
+            e.unpersist()
 
 
 def triangles_per_vertex(
     edges: DataFrame,
     assume_canonical: bool = False,
     local: bool | None = None,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """DataFrame[id, triangles] — per-vertex triangle participation
     (nx.triangles semantics; vertices in no triangle get 0).
 
-    ``local``: same adaptive gate as ``triangle_count``."""
+    ``local``/``edge_count``: same adaptive gate as ``triangle_count``.
+    The canonical table is always persisted here — the vertex-universe
+    left join is a second consumer even on the kernel path (with a
+    derived edge input, scanning the raw ``edges`` twice would re-run
+    the whole derivation; reading the persisted canonical table keeps
+    it one derivation per call) — but with ``edge_count`` supplied the
+    probe COUNT is skipped and the single output action both fills and
+    drains the cache."""
     e = _canonical(edges, assume_canonical).persist()
     d = None
     try:
-        m = e.count()
+        m = edge_count
+        if m is None and local is None:
+            m = e.count()  # probe (doubles as the cache materialization)
         if local is True or (local is None and m <= LOCAL_TRI_MAX_EDGES):
             counts = _local_triangle_counts(e)
         else:
@@ -122,7 +152,7 @@ def triangles_per_vertex(
                 F.count(F.lit(1)).alias("triangles")
             )
         out = (
-            vertices_of(edges)
+            vertices_of(e)
             .join(counts, "id", "left")
             .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
         )
@@ -254,6 +284,7 @@ def clustering_coefficient(
     edges: DataFrame,
     assume_canonical: bool = False,
     local: bool | None = None,
+    edge_count: int | None = None,
 ) -> DataFrame:
     """DataFrame[id, coeff] — local clustering coefficient,
     nx.clustering semantics: 2*T(v) / (deg(v)*(deg(v)-1)), 0 for
@@ -263,7 +294,8 @@ def clustering_coefficient(
     at edge scale."""
     e = _canonical(edges, assume_canonical)
     tri = triangles_per_vertex(
-        edges, assume_canonical=assume_canonical, local=local
+        edges, assume_canonical=assume_canonical, local=local,
+        edge_count=edge_count,
     )
     deg = degrees(e)
     return (
