@@ -233,7 +233,8 @@ def _rollup_sql(iters: int) -> str:
         _CC_PREFIX + _cc_iteration_ctes(iters)
         + f""",
 snd AS (SELECT DISTINCT src AS id FROM pairs)
-SELECT cc.component,
+SELECT sha256('group|' || cc.component) AS group_id,
+       cc.component,
        count(*) FILTER (WHERE s.id IS NOT NULL)::INT AS num_user,
        count(*) FILTER (WHERE s.id IS NULL)::INT AS num_depo
 FROM c{iters} cc LEFT JOIN snd s ON cc.id = s.id
@@ -270,9 +271,13 @@ def _graph_structure_sql(iters: int) -> str:
     result: the positions assigned to a tie block are a fixed set and
     the block's value is constant). The fixpoint IS the coreness, so an
     unroll deeper than the convergence depth is exact (extra iterations
-    are identity); ``iters`` is sized ~2x the measured sf0.01 fixpoint
-    depth (reached by 20), and the ENGINE raises if its own fixpoint is
-    not reached — a depth mismatch fails loudly, never silently.
+    are identity); ``iters`` is sized 2x the measured sf0.01 fixpoint
+    depth (reached by 20, so the oracle unrolls 40), and the ENGINE
+    raises if its own fixpoint is not reached — a depth mismatch fails
+    loudly, never silently. If this gate row ever fails with matching
+    row counts, suspect the ORACLE's unroll depth (a dataset whose
+    H-index fixpoint exceeds ``iters`` makes the oracle an upper
+    bound), not the engine.
 
     Coefficient: 2*T(v)/(d(v)*(d(v)-1)) from the _TRIANGLES_SQL wedge
     CTEs, 0 below degree 2 — the same IEEE double expression the engine
@@ -376,10 +381,12 @@ def q_triangles(spark, sf_dir):
 
 def q_community_rollup(spark, sf_dir):
     # trade pairs are canonical (see q_cc_components) -> skip the two
-    # defensive dedup exchanges inside the rollup
+    # defensive dedup exchanges inside the rollup. group_id rides along
+    # so F4 (deterministic_id, the uuid4 replacement) is value-checked
+    # by this oracle, not just pytest.
     pairs = _trade_pairs(spark, sf_dir)
     return bipartite_group_rollup(spark, pairs, assume_canonical=True).select(
-        "component", "num_user", "num_depo"
+        "group_id", "component", "num_user", "num_depo"
     )
 
 
@@ -634,12 +641,84 @@ def q_carry_forward_sum(spark, sf_dir):
     return out.select("ts", F.round("combined", 4).alias("combined"))
 
 
-def q_json_extract(spark, sf_dir):
-    """F14: JSON field extraction from the events props column."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
-    )
+def q_wallet_state_final(spark, sf_dir):
+    """T7 at the gate: the applyInPandasWithState wallet accumulator
+    (streaming/stateful.py — the reference's cross-window Wallet merge,
+    models/wallet/wallet.py:24-45 + databases/mongodb.py:110-118) run as
+    a REAL streaming query over the events table split into three
+    time-ordered micro-batches (the reference's scheduler windows,
+    cli/exchange_deposit_wallets.py:84-123). The stream's final
+    per-wallet state — lifetime event count, value total, last event
+    ms, sorted tag-set union — must equal the one-shot batch aggregation
+    the oracle computes (the same final-state-equality gating pattern
+    ``sessionize`` proved for session windows).
+
+    Batch ordering: each window lands as one source file with ascending
+    mtime and maxFilesPerTrigger=1, so micro-batches arrive in event-time
+    order and the 10-minute watermark can never drop a later window's
+    rows (window boundaries are far apart relative to the watermark)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming.stateful import wallet_state_stream
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value",
+        "event_type",
+    ).cache()
+    lo, hi = ev.agg(
+        F.unix_timestamp(F.min("ts")), F.unix_timestamp(F.max("ts"))
+    ).collect()[0]
+    period = (hi - lo) // 3 + 1
+    d = tempfile.mkdtemp(prefix="wallet_state_gate_")
+    src = os.path.join(d, "src")
+    os.makedirs(src)
+    try:
+        for i in range(3):
+            w_lo, w_hi = lo + i * period, lo + (i + 1) * period
+            stage = os.path.join(d, f"stage{i}")
+            (
+                ev.filter(
+                    (F.unix_timestamp("ts") >= w_lo)
+                    & (F.unix_timestamp("ts") < w_hi)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(stage)
+            )
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"w{i}.parquet")
+            shutil.copyfile(os.path.join(stage, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = wallet_state_stream(
+            stream, os.path.join(d, "ckpt"), os.path.join(d, "out"),
+            key_col="user_id",
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(os.path.join(d, "out"))
+        w = Window.partitionBy("wallet").orderBy(F.desc("batch_id"))
+        final = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "wallet",
+                "n_events",
+                F.round("total_value", 4).alias("total_value"),
+                "last_ts",
+                F.concat_ws(",", "tags").alias("tags"),
+            )
+        )
+        # materialize before the temp dirs disappear
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        ev.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q_merge_upsert(spark, sf_dir):
@@ -774,13 +853,16 @@ def q_scalar_functions(spark, sf_dir):
     """The scalar-function family in ONE gate row (F2/F3 composite-key
     roundtrip, F5 human amount, F6 percentage, F7 the reference's actual
     '%b-%d-%Y %I:%M:%S %p' date format, F8 regex allowlist, F9 snake->
-    camelCase rename, F10 decimals math, F15 sha256 invariant) — every
-    column an independent value-checked claim over strings built
-    deterministically from the part table. F9 is metadata-only, so its
-    check is the gate's SCHEMA compare: the epoch column's name is
-    computed by snake_to_camel("epoch_seconds_utc") on the Spark side
-    and spelled literally in the oracle — a wrong camelization is a
-    schema mismatch."""
+    camelCase rename, F10 decimals math, F14 JSON field extraction, F15
+    sha256 invariant) — every column an independent value-checked claim
+    over strings built deterministically from the part table. F9 is
+    metadata-only, so its check is the gate's SCHEMA compare: the epoch
+    column's name is computed by snake_to_camel("epoch_seconds_utc") on
+    the Spark side and spelled literally in the oracle — a wrong
+    camelization is a schema mismatch. F14 (get_json_object — the
+    events-props extraction machinery, folded here round 4 to free a
+    registry slot for the stateful-stream gate; see SURVEY §2.11)
+    parses a per-row constructed JSON document."""
     from .functions.scalar import (
         composite_key,
         content_sha256,
@@ -824,6 +906,14 @@ def q_scalar_functions(spark, sf_dir):
             token_value_usd("p_partkey", F.col("p_size") % 4, F.lit(1.5)), 9
         ).alias("usd"),
         content_sha256("p_name").alias("sha"),
+        F.get_json_object(
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("p_partkey") % 97).cast("string"),
+                F.lit(', "tag": "x"}'),
+            ),
+            "$.k",
+        ).cast("int").alias("json_k"),
     )
 
 
@@ -841,7 +931,8 @@ SELECT p_partkey,
          || ':04:05 ' || (CASE WHEN p_partkey % 2 = 0 THEN 'AM' ELSE 'PM' END),
          '%b-%d-%Y %I:%M:%S %p')))::BIGINT AS "epochSecondsUtc",
        round(p_partkey / power(10.0, p_size % 4) * 1.5, 9) AS usd,
-       sha256(p_name) AS sha
+       sha256(p_name) AS sha,
+       json_extract_string('{"k": ' || (p_partkey % 97)::VARCHAR || ', "tag": "x"}', '$.k')::INT AS json_k
 FROM part
 """
 
@@ -1409,7 +1500,10 @@ QUERIES = {
     "scalar_functions": q_scalar_functions,
     "native_transfer_filter": q_native_transfer_filter,
     "recency_filter": q_recency_filter,
-    "json_extract": q_json_extract,
+    # round 4: json_extract folded into scalar_functions (json_k column,
+    # same get_json_object machinery) to free this slot for the
+    # stateful-stream accumulator gate — see SURVEY §2.11
+    "wallet_state_final": q_wallet_state_final,
     "collect_set_agg": q_collect_set_agg,
     "window_rank_lag": q_window_rank_lag,
     "set_ops": q_set_ops,
@@ -1704,8 +1798,13 @@ filled AS (SELECT ts, last_value(value IGNORE NULLS)
            FROM joined)
 SELECT ts, round(sum(ff), 4) AS combined FROM filled GROUP BY ts
 """,
-    "json_extract": """
-SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
+    "wallet_state_final": """
+SELECT user_id::VARCHAR AS wallet,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       (max(floor(epoch(ts)))::BIGINT * 1000) AS last_ts,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS tags
+FROM events GROUP BY user_id
 """,
     "merge_upsert": """
 WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, [o_orderpriority] AS tags
@@ -1760,7 +1859,7 @@ FROM events e ASOF LEFT JOIN pur p
   ON e.user_id = p.user_id AND e.ts >= p.ts
 """,
     "doc_stats": _doc_stats_sql(),
-    "graph_structure": _graph_structure_sql(32),
+    "graph_structure": _graph_structure_sql(40),
     "adamic_adar": _ADAMIC_ADAR_SQL,
     "filter_project_distinct": """
 SELECT DISTINCT o_custkey FROM orders

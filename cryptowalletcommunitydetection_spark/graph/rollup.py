@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalar import deterministic_id
 from .cc import connected_components
 from .edges import canonicalize_edges
 
@@ -127,9 +128,12 @@ def bipartite_group_rollup(
     )
 
     out = member_rollup.join(edge_rollup, "component", "left").select(
-        F.sha2(F.concat(F.lit("group_"), F.col("component").cast("string")), 256).alias(
-            "group_id"
-        ),
+        # F4: sha2('group|<min member>') via functions/scalar.deterministic_id
+        # — the uuid4 replacement (services/wallet_clustering.py:6-7,33);
+        # oracle-checked in the community_rollup gate row
+        deterministic_id(
+            F.col("component").cast("string"), prefix="group"
+        ).alias("group_id"),
         "component",
         "user_wallets",
         "deposit_wallets",
