@@ -59,6 +59,97 @@ def prune_old(df: DataFrame, ts: str = "ts", cutoff: int = 0) -> DataFrame:
     return df.filter(F.col(ts) >= F.lit(cutoff))
 
 
+def common_timestamp_grid(
+    df: DataFrame,
+    series: str = "key",
+    ts: str = "ts",
+    frequency: int = 900,
+    start_time: int | None = None,
+) -> DataFrame:
+    """X5 — the reference's timestamp-intersection regrid
+    (`get_timestamps_intersection`, utils/time_utils.py:40-75): the
+    regular ``frequency``-spaced grid over the INTERSECTION of every
+    series' observed span. Input: long-form ``(series, ts)`` rows (extra
+    columns ignored); output: DataFrame[ts] — one row per grid point
+    ``start, start+f, ..., <= end`` where ``start = max over series of
+    min(ts)`` and ``end = min over series of max(ts)``.
+
+    ``start_time`` clips the grid's left edge exactly as the reference
+    does: the start is bucket-floored (``round_timestamp``) and bumped
+    one frequency forward if the floor lands before ``start_time``.
+
+    Raises ``ValueError`` when the spans don't intersect (the reference
+    logs an error and returns None — silent None poisons downstream
+    joins, so this engine fails loudly).
+
+    Scale shape: ONE two-level aggregate (per-series min/max with
+    map-side combine, then two scalars to the driver) + a distributed
+    ``spark.range`` for the grid itself — no per-row Python, no driver
+    materialization of the grid, safe for spans of any length."""
+    b = df.groupBy(series).agg(
+        F.min(F.col(ts)).alias("_lo"), F.max(F.col(ts)).alias("_hi")
+    )
+    row = b.agg(F.max("_lo").alias("lo"), F.min("_hi").alias("hi")).collect()[0]
+    if row["lo"] is None:
+        raise ValueError("common_timestamp_grid: input has no series")
+    start, end = int(row["lo"]), int(row["hi"])
+    if start_time is not None and start < start_time:
+        start = (start_time // frequency) * frequency
+        if start < start_time:
+            start += frequency
+    if start > end:
+        raise ValueError(
+            f"common_timestamp_grid: series spans do not intersect "
+            f"(start {start} > end {end})"
+        )
+    n = (end - start) // frequency + 1
+    return df.sparkSession.range(n).select(
+        (F.lit(start) + F.col("id") * F.lit(frequency)).cast("long").alias(ts)
+    )
+
+
+def regrid_carry_forward(
+    df: DataFrame,
+    series: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    frequency: int = 900,
+    start_time: int | None = None,
+) -> DataFrame:
+    """X5/A8 — align every series onto the common intersection grid,
+    carrying each series' last observation forward onto each grid point
+    (the reference pairs `get_timestamps_intersection` with its
+    sorted-dict walk to sample each wallet's balance log on the unified
+    grid). Output: DataFrame[series, ts, value] — dense |series|x|grid|.
+
+    One union + one window pass (the ``asof_join`` mechanics): grid
+    marker rows interleave with observations per series, ordered by
+    (ts, marker-last), and ``last(value, ignorenulls)`` over the
+    preceding frame fills each marker. Every series has an observation
+    at/before every grid point by construction of the intersection
+    grid, so the result has no nulls."""
+    grid = common_timestamp_grid(
+        df, series=series, ts=ts, frequency=frequency, start_time=start_time
+    )
+    keys = df.select(F.col(series).alias(series)).distinct()
+    markers = keys.crossJoin(grid).select(
+        series, ts, F.lit(None).cast(df.schema[value].dataType).alias(value),
+        F.lit(1).alias("_g"),
+    )
+    obs = df.select(series, ts, value).withColumn("_g", F.lit(0))
+    w = (
+        Window.partitionBy(series)
+        .orderBy(ts, "_g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        obs.unionByName(markers)
+        .withColumn("_ff", F.last(value, ignorenulls=True).over(w))
+        .filter(F.col("_g") == 1)
+        .select(series, ts, F.col("_ff").alias(value))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

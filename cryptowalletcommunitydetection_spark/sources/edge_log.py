@@ -63,11 +63,34 @@ class EdgeLog:
     either the old or the new state), but two concurrent writers would
     lose one of their manifest updates — serialize ingest (the upstream
     is a cursor/stream loop, naturally serial) or move to a catalog
-    table where MERGE INTO provides the transaction."""
+    table where MERGE INTO provides the transaction.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Auto-compaction policy: every ``append`` that leaves at least
+    ``compact_every`` pending delta segments (default 16), or — when
+    ``max_pending_bytes`` is set — whose pending segments exceed that
+    many bytes on disk, triggers ``compact()`` inline. Read
+    amplification grows with the pending-segment count (the merged view
+    scans base + every delta and pays per-file open/footer cost long
+    before the groupBy does; measured in BENCH/BASELINE.md: read wall
+    grows roughly linearly in segment count at fixed data size), while
+    compaction cost is one table rewrite — amortized O(|table|/K) per
+    ingest at ``compact_every=K``. Set ``compact_every=None`` AND leave
+    ``max_pending_bytes`` unset to manage compaction manually (the
+    pre-round-4 behavior). ``auto_compactions`` counts policy-triggered
+    compactions for observability."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        compact_every: int | None = 16,
+        max_pending_bytes: int | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.compact_every = compact_every
+        self.max_pending_bytes = max_pending_bytes
+        self.auto_compactions = 0
         self.manifest_path = os.path.join(root, "manifest.json")
         os.makedirs(root, exist_ok=True)
         if os.path.exists(self.manifest_path):
@@ -106,7 +129,35 @@ class EdgeLog:
         self._m["applied"].append(batch_id)
         self._applied.add(batch_id)
         self._persist()
+        if self._policy_due():
+            self.compact()
+            self.auto_compactions += 1
         return True
+
+    def _pending_bytes(self) -> int:
+        """On-disk bytes across pending delta segments (walks the
+        segment dirs — cheap relative to the parquet write that
+        precedes every call)."""
+        total = 0
+        for seg in self._m["deltas"]:
+            for dirpath, _, files in os.walk(self._path(seg)):
+                for fn in files:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, fn))
+                    except OSError:
+                        pass
+        return total
+
+    def _policy_due(self) -> bool:
+        n = len(self._m["deltas"])
+        if n == 0:
+            return False
+        if self.compact_every is not None and n >= self.compact_every:
+            return True
+        return (
+            self.max_pending_bytes is not None
+            and self._pending_bytes() >= self.max_pending_bytes
+        )
 
     # --------------------------------------------------------- query
     def read(self) -> DataFrame | None:

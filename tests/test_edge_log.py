@@ -154,3 +154,66 @@ def test_stream_rejects_recreated_checkpoint(spark, tmp_path):
     stream_files_into_log(spark, src, files.schema, log2, ck2)
     with pytest.raises(ValueError, match="not the one bound"):
         stream_files_into_log(spark, src, files.schema, log, ck2)
+
+
+def test_auto_compaction_at_segment_count(spark, tmp_path):
+    """compact_every=K: the Kth pending delta triggers an inline
+    compaction; content equals full derivation throughout and replay
+    idempotence survives policy-triggered compactions."""
+    files = _files(spark).persist()
+    commits = sorted(
+        r["commit"] for r in files.select("commit").distinct().collect()
+    )
+    cut1, cut2 = commits[len(commits) // 3], commits[2 * len(commits) // 3]
+    batches = [
+        files.filter(F.col("commit") <= cut1),
+        files.filter((F.col("commit") > cut1) & (F.col("commit") <= cut2)),
+        files.filter(F.col("commit") > cut2),
+    ]
+
+    log = EdgeLog(spark, str(tmp_path / "elog"), compact_every=2)
+    assert incremental_derive(spark, batches[0], log, "b0")
+    assert len(log._m["deltas"]) == 1 and log.auto_compactions == 0
+    assert incremental_derive(spark, batches[1], log, "b1")
+    # second delta hit the policy: compacted inline
+    assert len(log._m["deltas"]) == 0 and log._m["base"] is not None
+    assert log.auto_compactions == 1
+    assert incremental_derive(spark, batches[2], log, "b2")
+    assert len(log._m["deltas"]) == 1  # below policy again
+
+    want = _as_dict(derive_edges(files))
+    assert _as_dict(log.read()) == want
+    # replay after an auto-compaction is still a no-op
+    assert not incremental_derive(spark, batches[0], log, "b0")
+    assert _as_dict(log.read()) == want
+    files.unpersist()
+
+
+def test_auto_compaction_at_byte_threshold(spark, tmp_path):
+    """max_pending_bytes: one delta whose on-disk size crosses the
+    threshold triggers compaction even below the segment-count policy."""
+    files = _files(spark)
+    log = EdgeLog(
+        spark, str(tmp_path / "elog"), compact_every=None, max_pending_bytes=1
+    )
+    assert incremental_derive(spark, files, log, "all")
+    assert len(log._m["deltas"]) == 0 and log._m["base"] is not None
+    assert log.auto_compactions == 1
+    assert _as_dict(log.read()) == _as_dict(derive_edges(files))
+
+
+def test_manual_compaction_mode_unchanged(spark, tmp_path):
+    """compact_every=None + no byte threshold: deltas accumulate until
+    the caller compacts (the pre-policy behavior)."""
+    files = _files(spark).persist()
+    commits = sorted(
+        r["commit"] for r in files.select("commit").distinct().collect()
+    )
+    cut = commits[len(commits) // 2]
+    log = EdgeLog(spark, str(tmp_path / "elog"), compact_every=None)
+    incremental_derive(spark, files.filter(F.col("commit") <= cut), log, "b0")
+    incremental_derive(spark, files.filter(F.col("commit") > cut), log, "b1")
+    assert len(log._m["deltas"]) == 2 and log.auto_compactions == 0
+    assert log.compact() == 2
+    assert _as_dict(log.read()) == _as_dict(derive_edges(files))
+    files.unpersist()
