@@ -191,6 +191,41 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # headline total (different workload axis)
     steals["files_pipeline"] = f_steals[f_walls.index(files_wall)]
 
+    # distributed-path evidence (bench_scripts/distributed_paths.py): the
+    # forced-distributed walls of every adaptive operator on a >=10M-edge
+    # graph above all local-kernel gates. Run separately (it is a ~1h
+    # measurement); its result rides along here so BENCH_r{N}.json carries
+    # the 100x-scale half of each adaptive operator, not just the sf0.1
+    # local kernels. Full protocol + analysis: BENCH/BASELINE.md.
+    dist_summary = None
+    dist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "distributed_r04.json"
+    )
+    if os.path.exists(dist_path):
+        with open(dist_path) as f:
+            d = json.load(f)
+        dist_summary = {
+            "E_canonical": d["E_canonical"],
+            "V": d["V"],
+            "ops": {
+                k: {
+                    "wall_sec": v["wall_sec"],
+                    "throughput": v["throughput"],
+                    **(
+                        {"auto_sketch_match": v["auto_sketch_match"]}
+                        if "auto_sketch_match" in v
+                        else {}
+                    ),
+                    **(
+                        {"median_superstep_sec": v["median_superstep_sec"]}
+                        if "median_superstep_sec" in v
+                        else {}
+                    ),
+                }
+                for k, v in d["ops"].items()
+            },
+        }
+
     return {
         "metric": "headline_queries_wall",
         "value": round(sum(timings.values()), 3),
@@ -226,6 +261,9 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             "steals_per_repeat": f_steals,
             "files_per_sec": round(n_files / max(files_wall, 1e-9), 1),
         },
+        **(
+            {"distributed_paths_10M_edges": dist_summary} if dist_summary else {}
+        ),
     }
 
 
