@@ -43,7 +43,13 @@ Vote sums are float64 in both paths; with integral weights (including
 the unweighted lit(1) case) sums are exact below 2^53 regardless of
 order, so the min-(−score, label) tie-break is bit-identical to the
 distributed hash-agg argmax. ``run_dir`` checkpointing always uses the
-distributed loop."""
+distributed loop.
+
+The 4M value is measured, not guessed (``bench_scripts/lpa_crossover.py``,
+local[32], fresh JVM per level, min-of-2, identical label sketches): at
+4M vote rows the paths tie (16.8 s local vs 18.8 s distributed); at 8M
+the loop wins 25.6 vs 40.4 s and at 16M it wins 35.5 vs 93.3 s. Full
+table in ``BENCH/BASELINE.md``."""
 
 
 def _local_lpa(e: DataFrame, max_iter: int) -> LPAResult:
