@@ -10,6 +10,7 @@ from .edges import (  # noqa: F401
     with_content_sha256,
 )
 from .cc import connected_components  # noqa: F401
+from .hyperball import HyperBallResult, hyperball  # noqa: F401
 from .centrality import betweenness_from_sources  # noqa: F401
 from .kcore import core_numbers, degeneracy, k_core  # noqa: F401
 from .incremental import incremental_components  # noqa: F401
