@@ -159,6 +159,18 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             assume_canonical=True, personalization=seeds,
         ).ranks.count(),
     )
+    # HyperBall (round 4): reported as its own section — like
+    # files_pipeline — so the headline total stays comparable across
+    # rounds. lg_k=10 ≈ 3.2% relative error, the published setting for
+    # web-scale distance measurements (Boldi & Vigna 2013).
+    from cryptowalletcommunitydetection_spark.graph.hyperball import hyperball
+
+    s0, t0 = _steal(), time.monotonic()
+    hb = hyperball(spark, edges, lg_k=10, assume_canonical=True)
+    hb_wall = time.monotonic() - t0
+    hb_steal = _steal() - s0
+    hb.release()
+
     timed("sessionize", lambda: EQ.q_sessionize(spark, sf_dir).count())
     timed("adamic_adar", lambda: EQ.q_adamic_adar(spark, sf_dir).count())
     timed("modularity_lpa", lambda: EQ.q_modularity_lpa(spark, sf_dir).count())
@@ -252,6 +264,21 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             "wall_sec": round(prd_wall, 3),
             "edges_per_sec_per_superstep": round(edges_per_sec_d, 1),
             "strategy": "broadcast (forced; the >4M-edge path)",
+        },
+        "hyperball": {
+            "n_edges_canonical": n_edges,
+            "supersteps": hb.supersteps,
+            "converged": hb.converged,
+            "wall_sec": round(hb_wall, 3),
+            "steal_jiffies": hb_steal,
+            "avg_distance": round(hb.avg_distance, 4),
+            "effective_diameter": round(hb.effective_diameter, 4),
+            "lg_k": 10,
+            # directed traversals per superstep-second, same denominator
+            # convention as the pagerank lines (2x canonical edges)
+            "edges_per_sec_per_superstep": round(
+                (2 * n_edges * hb.supersteps) / max(hb_wall, 1e-9), 1
+            ),
         },
         "files_pipeline": {
             "n_files": n_files,

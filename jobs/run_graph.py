@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "rollup",
                              "kcore", "clustering", "linkpred", "modularity",
-                             "bfs", "betweenness"])
+                             "bfs", "betweenness", "hyperball"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -187,6 +187,20 @@ def main():
             directed=args.directed, assume_canonical=canonical,
         )
         bc.write.mode("overwrite").parquet(args.out)
+    elif args.algo == "hyperball":
+        from cryptowalletcommunitydetection_spark.graph.hyperball import hyperball
+
+        res = hyperball(
+            spark, edges, max_r=args.max_iter, directed=args.directed,
+            assume_canonical=canonical and not args.directed,
+        )
+        res.per_vertex.write.mode("overwrite").parquet(args.out)
+        res.release()
+        summary.update(
+            supersteps=res.supersteps, converged=res.converged,
+            avg_distance=round(res.avg_distance, 4),
+            effective_diameter=round(res.effective_diameter, 4),
+        )
     elif args.algo == "modularity":
         from cryptowalletcommunitydetection_spark.graph.quality import (
             modularity_by_community,
