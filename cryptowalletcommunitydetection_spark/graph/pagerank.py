@@ -183,7 +183,10 @@ def _local_pagerank(
         srcs, dsts, ps, vids = [], [], [], []
         init_keys, init_vals = [], []
         pers_keys, pers_vals = [], []
+        pers_requested = False
         for pdf in batches:
+            if "s" in pdf.columns:
+                pers_requested = True
             isv = pdf["dst"].isna()
             if isv.any():
                 vrows = pdf.loc[isv]
@@ -275,6 +278,19 @@ def _local_pagerank(
                 svec /= st
             else:
                 svec = None
+        if pers_requested and svec is None:
+            # zero teleport mass (no seed id exists in this universe):
+            # signal with the _k = -1 sentinel instead of iterating — the
+            # driver raises the contract ValueError after the (eager)
+            # materialization, so the caller still sees the error at the
+            # call site without a separate pre-kernel existence-probe job
+            yield pd.DataFrame({
+                "id": ids,
+                "rank": ranks,
+                "_k": np.int32(-1),
+                "_conv": False,
+            })
+            return
         dmass = float(ranks[dang].sum())
         steps, converged = 0, False
         for k in range(max_iter):
@@ -305,6 +321,16 @@ def _local_pagerank(
     meta = out.select(
         F.max("_k").alias("k"), F.min("_conv").alias("c")
     ).collect()[0]
+    if personalization is not None and (
+        meta["k"] is None or int(meta["k"]) < 0
+    ):
+        # _k = -1 sentinel (or an empty universe) under a requested
+        # personalization: the teleport vector has no mass on this graph
+        out.unpersist()
+        raise ValueError(
+            "personalization carries no positive weight on any vertex of "
+            "this graph — the teleport distribution would be empty"
+        )
     return PageRankResult(
         out.select("id", "rank"),
         int(meta["k"] or 0),
@@ -470,39 +496,22 @@ def pagerank(
     if run_dir is None and strategy in ("auto", "local"):
         probe_cache = norm.persist(StorageLevel.MEMORY_AND_DISK)
         if strategy == "local" or probe_cache.count() <= LOCAL_PR_MAX_EDGES:
-            if pers_clean is not None:
-                # reject zero teleport mass BEFORE the kernel (the error
-                # must be a ValueError at the call site, not a task
-                # failure buried in an executor log). Existence suffices:
-                # pers_clean is already positive-weight filtered, so ONE
-                # matched endpoint means positive mass — a broadcast semi
-                # join stays map-side over the cached transition scan
-                # (the previous |2E|-row distinct + shuffle made this
-                # probe the dominant cost of a seeded local run). Seed
-                # sets are bounded by contract (a list of known actors),
-                # so broadcasting them is safe on this ≤4M-edge path.
-                uni = probe_cache.select(F.col("src").alias("id")).unionByName(
-                    probe_cache.select(F.col("dst").alias("id"))
+            # Zero teleport mass (seeded run, no seed id in the graph) is
+            # detected INSIDE the kernel and signalled back through the
+            # _k = -1 sentinel; _local_pagerank raises the contract
+            # ValueError at the call site. Earlier versions ran a
+            # separate pre-kernel existence-probe job here — one extra
+            # action per seeded run (plus a second evaluation of the
+            # caller's seed subquery) spent entirely on the error path.
+            # The kernel's output is materialized eagerly inside, so the
+            # input cache can be dropped before returning.
+            try:
+                res = _local_pagerank(
+                    vertices, probe_cache, alpha, tol, max_iter, init_ranks,
+                    pers_clean,
                 )
-                if vertices is not None:
-                    uni = uni.unionByName(vertices.select("id"))
-                hit = uni.join(
-                    F.broadcast(pers_clean.select("id")), "id", "left_semi"
-                )
-                if hit.isEmpty():
-                    probe_cache.unpersist()
-                    raise ValueError(
-                        "personalization carries no positive weight on any "
-                        "vertex of this graph — the teleport distribution "
-                        "would be empty"
-                    )
-            # the kernel's output is materialized eagerly inside, so the
-            # input cache can be dropped before returning
-            res = _local_pagerank(
-                vertices, probe_cache, alpha, tol, max_iter, init_ranks,
-                pers_clean,
-            )
-            probe_cache.unpersist()
+            finally:
+                probe_cache.unpersist()
             return res
         norm = probe_cache
 
