@@ -68,6 +68,45 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _round_step(prev: DataFrame):
+    """One large-star + small-star round with intra-round pinning.
+
+    ``_small_star`` consumes its input three times (the nbrs join's probe
+    side, and the mins agg feeding both that join's build side and the
+    selfs branch). Compiled naively, each branch re-instantiates the whole
+    large-star subtree — the pushed-down ``v > u`` filter makes the sym
+    subplans non-canonical, so ReuseExchange never fires and round 1 at
+    11M edges re-shuffles ~2|E| rows three times over. Pinning the
+    large-star output (and the |V|-row mins table) with lazy
+    localCheckpoints makes every consumer share ONE materialization,
+    computed by the same action that materializes the round.
+
+    Returns ``(stepped, pins)``; the caller unpersists ``pins`` after the
+    round's materializing action.
+    """
+    large = _large_star(prev).localCheckpoint(eager=False)
+    # large-star output is already oriented src > dst (v > u >= m), so
+    # greatest/least are no-ops kept only for shape parity with
+    # _small_star's contract on arbitrary inputs
+    oriented = large.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = (
+        oriented.groupBy("u").agg(F.min("v").alias("m")).localCheckpoint(eager=False)
+    )
+    nbrs = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    selfs = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    stepped = (
+        nbrs.unionByName(selfs)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return stepped, [large, mins]
+
+
 def _edge_sketch(df: DataFrame):
     """(rows, xxhash64-sum) of a distinct edge set — one agg job.
 
@@ -433,12 +472,14 @@ def _cc_loop(
     delta = None
     for k in range(start_k, max_iter):
         t0 = time.monotonic()
-        stepped = _small_star(_large_star(prev))
+        stepped, pins = _round_step(prev)
         if manifest is not None:
             stepped = manifest.checkpoint(stepped, k)
         else:
             stepped = stepped.localCheckpoint(eager=False)
         sketch = _edge_sketch(stepped)  # materializes the checkpoint
+        for p in pins:  # superseded the moment stepped is materialized
+            p.unpersist()
         rows = sketch[0]
         if sketch == prev_sketch:
             # probable fixpoint — confirm exactly (equal counts + empty

@@ -193,3 +193,33 @@ def test_simhash_near_dups_single_signature_pass(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("regexp_extract_all") == 1, plan
+
+
+def test_cc_round_shares_large_star_materialization(spark):
+    """One CC round must not recompile the large-star subtree per
+    small-star consumer. _round_step pins the large-star output (and the
+    mins table) as cached RDDs, so the compiled round contains ONLY
+    ExistingRDD scans below the small-star operators — zero xxhash64/
+    Range re-derivations of the input — and at most 3 hash exchanges
+    (mins agg, join probe side, output distinct). Before the pinning,
+    the same round compiled to 6+ exchanges with the 2|E|-row large-star
+    shuffles instantiated three times (measured 101.7s -> 43s at 11M
+    canonical edges, local[32])."""
+    from pyspark.sql import functions as F
+
+    from cryptowalletcommunitydetection_spark.graph.cc import _round_step
+
+    prev = spark.range(500).select(
+        F.xxhash64("id").alias("src"), F.xxhash64("id", F.lit(7)).alias("dst")
+    )
+    stepped, pins = _round_step(prev)
+    try:
+        plan = _plan(stepped)
+        assert plan.count("Exchange hashpartitioning") <= 3, plan
+        # every leaf below the round is a pinned RDD scan, not a
+        # recompute of the upstream edge derivation
+        assert "Range (" not in plan, plan
+        assert plan.count("Scan ExistingRDD") >= 3, plan
+    finally:
+        for p in pins:
+            p.unpersist()
