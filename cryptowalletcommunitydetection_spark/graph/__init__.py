@@ -21,7 +21,9 @@ from .pagerank import pagerank  # noqa: F401
 from .lpa import label_propagation  # noqa: F401
 from .triangles import (  # noqa: F401
     clustering_coefficient,
+    transitivity,
     triangle_count,
+    triangle_count_sampled,
     triangles_per_vertex,
 )
 from .rollup import bipartite_group_rollup  # noqa: F401

@@ -280,6 +280,77 @@ def _local_triangle_counts(canon: DataFrame) -> DataFrame:
     return ids.coalesce(1).mapInPandas(kernel, f"id {id_type}, triangles long")
 
 
+def transitivity(
+    edges: DataFrame,
+    assume_canonical: bool = False,
+    local: bool | None = None,
+    edge_count: int | None = None,
+) -> float:
+    """Global clustering coefficient (nx.transitivity semantics):
+    3 * #triangles / #wedges, with #wedges = Σ_v deg(v)·(deg(v)−1)/2;
+    0.0 for wedge-free graphs. One extra |V|-sized degree aggregation
+    over ``triangle_count`` — the canonical table is pinned here so the
+    degree scan and the triangle pipeline share one materialization of
+    a (possibly expensive) derived edge input."""
+    e = _canonical(edges, assume_canonical).persist()
+    try:
+        t = triangle_count(
+            e, assume_canonical=True, local=local, edge_count=edge_count
+        )
+        w = (
+            degrees(e)
+            .agg(
+                F.sum(
+                    F.col("degree") * (F.col("degree") - 1) / F.lit(2.0)
+                ).alias("w")
+            )
+            .collect()[0]["w"]
+        )
+        return (3.0 * t / w) if w else 0.0
+    finally:
+        e.unpersist()
+
+
+def triangle_count_sampled(
+    edges: DataFrame,
+    p: float,
+    seed: int = 42,
+    assume_canonical: bool = False,
+    local: bool | None = None,
+) -> float:
+    """DOULION triangle estimate (Tsourakakis et al., KDD 2009): keep
+    each canonical edge independently with probability ``p``, count
+    triangles exactly on the sparsified graph, scale by 1/p³. Unbiased;
+    relative error concentrates as O(1/√(p³·T)), so triangle-rich
+    graphs — the ones whose exact count is expensive — are exactly the
+    ones the estimator is tight on.
+
+    This is the >100M-edge scale path for G8: the wedge join's shuffle
+    shrinks ~p² and the closure semi-join ~p³, and a sparsified graph
+    that falls under ``LOCAL_TRI_MAX_EDGES`` additionally collapses to
+    the single-task kernel (measured: 11.0M canonical edges, exact
+    distributed 22.7 s → p=0.1 sampled ~2 s, see BENCH/BASELINE.md).
+
+    The sparsifier is a DETERMINISTIC hash coin — xxhash64(src, dst,
+    seed) mapped to [0, 1) — not ``rand()``: the kept edge set is a
+    pure function of (edge, seed), so estimates are reproducible
+    run-to-run, stable under repartitioning, and task retries cannot
+    double-sample (a ``rand()`` coin re-flips on recompute).
+    ``p=1.0`` keeps every edge and returns exactly
+    ``triangle_count(edges)`` (parity-tested)."""
+    if not (0.0 < p <= 1.0):
+        raise ValueError(f"sampling probability must be in (0, 1], got {p}")
+    e = _canonical(edges, assume_canonical)
+    if p < 1.0:
+        # int64 hash → uniform [0, 1): [-2^63, 2^63) / 2^64 + 0.5
+        u = (
+            F.xxhash64("src", "dst", F.lit(seed)) / F.lit(float(2**64))
+        ) + F.lit(0.5)
+        e = e.filter(u < F.lit(p))
+    t = triangle_count(e, assume_canonical=True, local=local)
+    return t / (p ** 3)
+
+
 def clustering_coefficient(
     edges: DataFrame,
     assume_canonical: bool = False,

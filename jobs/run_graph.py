@@ -60,6 +60,11 @@ def main():
                          "the input edge table is then treated as the DELTA "
                          "(additions only) and labels are re-converged via "
                          "condensation without reading the base edges")
+    ap.add_argument("--sample-p", type=float, default=None,
+                    help="triangles only: DOULION edge-sampling probability "
+                         "in (0, 1] — writes a one-row (estimate, p) parquet "
+                         "instead of per-vertex counts (unbiased 1/p^3-scaled "
+                         "count on the hash-sparsified graph)")
     args = ap.parse_args()
 
     # build_session is a no-op wrapper when spark-submit already created
@@ -125,9 +130,22 @@ def main():
         res.labels.write.mode("overwrite").parquet(args.out)
         summary.update(supersteps=res.supersteps, converged=res.converged)
     elif args.algo == "triangles":
-        triangles_per_vertex(
-            edges, assume_canonical=canonical
-        ).write.mode("overwrite").parquet(args.out)
+        if args.sample_p is not None:
+            from cryptowalletcommunitydetection_spark.graph.triangles import (
+                triangle_count_sampled,
+            )
+
+            est = triangle_count_sampled(
+                edges, p=args.sample_p, assume_canonical=canonical
+            )
+            spark.createDataFrame(
+                [(est, args.sample_p)], "triangles_estimate double, p double"
+            ).write.mode("overwrite").parquet(args.out)
+            summary.update(triangles_estimate=est, sample_p=args.sample_p)
+        else:
+            triangles_per_vertex(
+                edges, assume_canonical=canonical
+            ).write.mode("overwrite").parquet(args.out)
     elif args.algo == "kcore":
         from cryptowalletcommunitydetection_spark.graph.kcore import core_numbers
 
