@@ -27,6 +27,8 @@ from .triangles import (  # noqa: F401
     triangles_per_vertex,
 )
 from .rollup import bipartite_group_rollup  # noqa: F401
+from .truss import edge_support, k_truss  # noqa: F401
+from .walks import random_walks, ranked_adjacency  # noqa: F401
 from .skew import (  # noqa: F401
     degree_histogram,
     hub_vertices,

@@ -31,7 +31,8 @@ def main():
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "cc", "lpa", "triangles", "rollup",
                              "kcore", "clustering", "linkpred", "modularity",
-                             "bfs", "betweenness", "hyperball"])
+                             "bfs", "betweenness", "hyperball", "truss",
+                             "walks"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -60,6 +61,15 @@ def main():
                          "the input edge table is then treated as the DELTA "
                          "(additions only) and labels are re-converged via "
                          "condensation without reading the base edges")
+    ap.add_argument("--truss-k", type=int, default=None,
+                    help="truss only: peel to the k-truss edge set; omitted "
+                         "-> write per-edge triangle support instead")
+    ap.add_argument("--num-walks", type=int, default=10,
+                    help="walks only: walks started per vertex")
+    ap.add_argument("--walk-length", type=int, default=20,
+                    help="walks only: vertices per walk")
+    ap.add_argument("--walk-seed", type=int, default=42,
+                    help="walks only: hash seed (same seed -> same corpus)")
     ap.add_argument("--sample-p", type=float, default=None,
                     help="triangles only: DOULION edge-sampling probability "
                          "in (0, 1] — writes a one-row (estimate, p) parquet "
@@ -231,6 +241,36 @@ def main():
             weighted=args.weighted, assume_canonical=canonical,
         )
         per.write.mode("overwrite").parquet(args.out)
+
+    elif args.algo == "truss":
+        from cryptowalletcommunitydetection_spark.graph.truss import (
+            edge_support,
+            k_truss,
+        )
+
+        if args.truss_k is not None:
+            out = k_truss(edges, args.truss_k, assume_canonical=canonical)
+            summary.update(k=args.truss_k, edges_kept=out.count())
+        else:
+            out = edge_support(edges, assume_canonical=canonical)
+        out.write.mode("overwrite").parquet(args.out)
+    elif args.algo == "walks":
+        from cryptowalletcommunitydetection_spark.graph.walks import random_walks
+
+        seeds = spark.read.parquet(args.seeds) if args.seeds else None
+        corpus = random_walks(
+            edges,
+            num_walks=args.num_walks,
+            walk_length=args.walk_length,
+            seed=args.walk_seed,
+            assume_canonical=canonical,
+            starts=seeds,
+        )
+        corpus.write.mode("overwrite").parquet(args.out)
+        summary.update(
+            num_walks=args.num_walks, walk_length=args.walk_length,
+            seed=args.walk_seed,
+        )
 
     print("JOB_SUMMARY " + json.dumps(summary))
 
