@@ -192,6 +192,21 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     timed("adamic_adar", lambda: EQ.q_adamic_adar(spark, sf_dir).count())
     timed("modularity_lpa", lambda: EQ.q_modularity_lpa(spark, sf_dir).count())
 
+    # round-4 graph extensions: k-truss over the triangle-rich
+    # co-occurrence graph (the bipartite trade graph is triangle-free by
+    # construction), walk corpus over the persisted trade graph
+    from cryptowalletcommunitydetection_spark.graph.truss import k_truss
+    from cryptowalletcommunitydetection_spark.graph.walks import random_walks
+
+    cooc = EQ._cooccur_edges(spark, sf_dir)
+    timed("ktruss", lambda: k_truss(cooc, 4, assume_canonical=True).count())
+    timed(
+        "walks",
+        lambda: random_walks(
+            edges, num_walks=1, walk_length=10, seed=42, assume_canonical=True
+        ).count(),
+    )
+
     # north-rule input path at scale: files table generated distributively,
     # edges derived through the real mapInPandas extraction + co-occurrence
     from cryptowalletcommunitydetection_spark.datagen import gen_files_distributed

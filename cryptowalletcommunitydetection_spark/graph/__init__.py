@@ -28,7 +28,12 @@ from .triangles import (  # noqa: F401
 )
 from .rollup import bipartite_group_rollup  # noqa: F401
 from .truss import edge_support, k_truss  # noqa: F401
-from .walks import random_walks, ranked_adjacency  # noqa: F401
+from .walks import (  # noqa: F401
+    alias_tables,
+    random_walks,
+    ranked_adjacency,
+    skipgram_pairs,
+)
 from .skew import (  # noqa: F401
     degree_histogram,
     hub_vertices,

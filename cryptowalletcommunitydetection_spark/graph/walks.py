@@ -56,6 +56,10 @@ from pyspark.sql import functions as F
 
 from .edges import canonicalize_edges, degrees, symmetrize
 
+_COIN_DENOM = 1 << 53
+"""Hash-coin resolution: xxhash64 folded into [0, 1) at double
+precision (2^53 distinguishable values — the full double mantissa)."""
+
 _CHECKPOINT_EVERY = 8
 """Supersteps between lineage cuts on the walk frontier."""
 
@@ -78,6 +82,71 @@ def ranked_adjacency(edges: DataFrame, assume_canonical: bool = False) -> DataFr
     )
 
 
+def alias_tables(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
+    """Walker alias tables for weighted neighbor sampling:
+    DataFrame[src, rank, dst, prob, alias_dst].
+
+    Per source vertex with K neighbors of weights w_i, the table has K
+    rows; drawing ``rank ~ U{0..K-1}`` and a coin ``u ~ U[0,1)`` then
+    yields ``dst`` if ``u < prob`` else ``alias_dst`` — exactly the
+    w_i/ΣW marginal (Walker 1977; the invariant is unit-tested
+    numerically, not statistically). This keeps weighted transitions
+    O(1) per walk step: the inverse-CDF alternative needs a range join
+    against per-vertex cumulative weights, which re-introduces the
+    neighbor-list fan-out the rank join avoids.
+
+    Built with one ``applyInPandas`` over the symmetrized weighted
+    adjacency grouped by source — O(K) per vertex (the classic
+    two-stack construction), deterministic (neighbors sorted by id
+    before ranking, stack order index-driven). A 10^7-degree hub is one
+    O(K) group in one task — linear work and memory, the documented
+    bound; the construction is one-time per graph and reusable across
+    corpora via the ``adjacency`` argument of ``random_walks``.
+
+    Input needs a ``weight`` column (missing -> multiplicity weight 1
+    per canonical edge via ``canonicalize_edges``)."""
+    if assume_canonical:
+        canon = edges
+        if "weight" not in canon.columns:
+            canon = canon.withColumn("weight", F.lit(1.0))
+    else:
+        canon = canonicalize_edges(
+            edges, weight="weight" if "weight" in edges.columns else None
+        )
+    sym = symmetrize(canon.select("src", "dst", F.col("weight").cast("double")
+                                  .alias("weight")), weight=True)
+    src_t = sym.schema["src"].dataType.simpleString()
+    dst_t = sym.schema["dst"].dataType.simpleString()
+    schema = (
+        f"src {src_t}, rank int, dst {dst_t}, prob double, alias_dst {dst_t}"
+    )
+
+    def build(pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values("dst").reset_index(drop=True)
+        w = pdf["weight"].to_numpy(dtype="float64")
+        k = len(w)
+        scaled = w * (k / w.sum())
+        prob = np.ones(k, dtype="float64")
+        alias = np.arange(k, dtype="int64")
+        small = [i for i in range(k) if scaled[i] < 1.0]
+        large = [i for i in range(k) if scaled[i] >= 1.0]
+        while small and large:
+            s, l = small.pop(), large.pop()
+            prob[s] = scaled[s]
+            alias[s] = l
+            scaled[l] -= 1.0 - scaled[s]
+            (small if scaled[l] < 1.0 else large).append(l)
+        out = pdf[["src", "dst"]].copy()
+        out["rank"] = np.arange(k, dtype="int64")
+        out["prob"] = prob
+        out["alias_dst"] = pdf["dst"].to_numpy()[alias]
+        return out[["src", "rank", "dst", "prob", "alias_dst"]]
+
+    return sym.groupBy("src").applyInPandas(build, schema)
+
+
 def random_walks(
     edges: DataFrame,
     num_walks: int = 10,
@@ -85,6 +154,7 @@ def random_walks(
     seed: int = 42,
     assume_canonical: bool = False,
     starts: DataFrame | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """DeepWalk corpus: DataFrame[walk_id, start, seq].
 
@@ -95,8 +165,14 @@ def random_walks(
     (e.g. walks from one community only). Start vertices must appear in
     the edge table (isolated vertices have no transition distribution).
 
-    Deterministic: the step-t transition of a walk is neighbor
-    ``xxhash64(walk_id, t, seed) mod degree`` of the current vertex —
+    ``weighted=True`` samples each step proportionally to edge weight
+    through Walker alias tables (see ``alias_tables``) — still one
+    constant-width join per step (rank pick + hash coin between the two
+    stored outcomes), never a fan-out over the neighbor list.
+
+    Deterministic: the step-t transition of a walk is driven by
+    ``xxhash64(walk_id, t, seed)`` (plus an independent
+    ``xxhash64(walk_id, t, seed, 'coin')`` coin in weighted mode) —
     same (edges, num_walks, walk_length, seed) → identical corpus, on
     any partitioning or cluster size.
     """
@@ -105,11 +181,18 @@ def random_walks(
     if num_walks < 1:
         raise ValueError("num_walks must be >= 1")
 
-    canon = edges.select("src", "dst") if assume_canonical else (
-        canonicalize_edges(edges).select("src", "dst")
-    )
+    if assume_canonical:
+        canon = edges
+    else:
+        canon = canonicalize_edges(
+            edges, weight="weight" if weighted and "weight" in edges.columns else None
+        )
     canon = canon.persist()  # consumed by adjacency, degrees, and starts
-    adj = ranked_adjacency(canon, assume_canonical=True).persist()
+    adj = (
+        alias_tables(canon, assume_canonical=True)
+        if weighted
+        else ranked_adjacency(canon, assume_canonical=True)
+    ).persist()
     # symmetrized out-degree == undirected degree; two narrow columns,
     # |V| rows — the hot-loop lookup side
     deg = degrees(canon).persist()
@@ -153,14 +236,27 @@ def random_walks(
                     ).cast("int").alias("choice"),
                 )
             )
-            frontier = (
-                with_choice.join(
-                    adj,
-                    (with_choice["cur"] == adj["src"])
-                    & (with_choice["choice"] == adj["rank"]),
-                )
-                .select("walk_id", "start", F.col("dst").alias("cur"))
+            joined = with_choice.join(
+                adj,
+                (with_choice["cur"] == adj["src"])
+                & (with_choice["choice"] == adj["rank"]),
             )
+            if weighted:
+                coin = (
+                    F.pmod(
+                        F.xxhash64(
+                            F.col("walk_id"), F.lit(t), F.lit(seed), F.lit("coin")
+                        ),
+                        F.lit(_COIN_DENOM),
+                    )
+                    / F.lit(float(_COIN_DENOM))
+                )
+                nxt = F.when(coin < F.col("prob"), F.col("dst")).otherwise(
+                    F.col("alias_dst")
+                )
+            else:
+                nxt = F.col("dst")
+            frontier = joined.select("walk_id", "start", nxt.alias("cur"))
             if t % _CHECKPOINT_EVERY == 0:
                 frontier = frontier.localCheckpoint(eager=False)
             steps.append(
@@ -190,3 +286,38 @@ def random_walks(
         deg.unpersist()
         adj.unpersist()
         canon.unpersist()
+
+
+def skipgram_pairs(corpus: DataFrame, window: int = 5) -> DataFrame:
+    """(center, context) training pairs from a walk corpus:
+    DataFrame[walk_id, center, context].
+
+    For every position i of every walk sequence, emits one row per
+    other position within ``window`` of i (both sides, clipped at the
+    sequence ends) — the skip-gram extraction Word2Vec-style trainers
+    consume. Entirely JVM array expressions (posexplode + slice +
+    posexplode): no shuffle at all beyond the corpus scan, ~2·window
+    output rows per corpus token. Repeated vertices inside a window
+    emit repeated pairs (they are distinct co-occurrence events); only
+    the center POSITION itself is excluded.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ex = corpus.select(
+        "walk_id",
+        F.posexplode("seq").alias("pos", "center"),
+        F.col("seq"),
+    )
+    # 1-based slice bounds around the center (1-based position pos+1)
+    lo = F.greatest(F.lit(1), F.col("pos") + 1 - F.lit(window))
+    length = F.col("pos") + 1 + F.lit(window) - lo + 1  # clipped by slice
+    ctx = ex.select(
+        "walk_id",
+        "pos",
+        "center",
+        lo.alias("lo"),
+        F.posexplode(F.slice("seq", lo, length)).alias("off", "context"),
+    )
+    return ctx.filter(F.col("lo") + F.col("off") != F.col("pos") + 1).select(
+        "walk_id", "center", "context"
+    )

@@ -14,8 +14,10 @@ import pytest
 
 from cryptowalletcommunitydetection_spark import datagen
 from cryptowalletcommunitydetection_spark.graph.walks import (
+    alias_tables,
     random_walks,
     ranked_adjacency,
+    skipgram_pairs,
 )
 
 PAIRS = datagen.two_cliques_bridge(5) + [(20, 21), (21, 22), (22, 20)]
@@ -120,3 +122,107 @@ def test_validation(spark):
         random_walks(edges, walk_length=0)
     with pytest.raises(ValueError):
         random_walks(edges, num_walks=0)
+    with pytest.raises(ValueError):
+        skipgram_pairs(random_walks(edges, num_walks=1, walk_length=3), window=0)
+
+
+def test_alias_tables_exact_marginals(spark):
+    """The Walker-table invariant, checked NUMERICALLY (no statistics):
+    for each source, P(dst=v) = (1/K)·Σ_r [prob_r]{dst_r=v}
+    + (1/K)·Σ_r [1-prob_r]{alias_r=v} must equal w(src,v)/Σ w(src,·)."""
+    rows = [
+        ("a", "b", 1.0),
+        ("a", "c", 8.0),
+        ("a", "d", 1.0),
+        ("b", "c", 3.0),
+        ("c", "d", 0.5),
+    ]
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    tab = alias_tables(edges).collect()
+    by_src = {}
+    for r in tab:
+        by_src.setdefault(r["src"], []).append(r)
+    # reconstruct weighted marginals
+    import collections
+
+    want = collections.defaultdict(dict)
+    for u, v, w in rows:
+        want[u][v] = want[u].get(v, 0.0) + w
+        want[v][u] = want[v].get(u, 0.0) + w
+    for src, entries in by_src.items():
+        k = len(entries)
+        got = collections.defaultdict(float)
+        for r in entries:
+            got[r["dst"]] += r["prob"] / k
+            got[r["alias_dst"]] += (1.0 - r["prob"]) / k
+        total = sum(want[src].values())
+        for v, w in want[src].items():
+            assert got[v] == pytest.approx(w / total, abs=1e-12)
+        # dense ranks
+        assert sorted(r["rank"] for r in entries) == list(range(k))
+
+
+def test_alias_tables_unweighted_defaults_uniform(spark):
+    edges = datagen.edges_df(spark, datagen.star(5))
+    tab = alias_tables(edges).collect()
+    hub_rows = [r for r in tab if r["src"] == 0]
+    assert len(hub_rows) == 4
+    for r in hub_rows:
+        assert r["prob"] == pytest.approx(1.0)
+
+
+def test_weighted_walks_follow_weights(spark):
+    """Hub with one dominant-weight spoke: step-1 choices must
+    concentrate on it roughly in proportion (hash-coin law; wide
+    tolerance — this is a sanity band, the exact invariant is
+    test_alias_tables_exact_marginals)."""
+    rows = [("h", "x", 90.0), ("h", "y", 5.0), ("h", "z", 5.0)]
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    starts = spark.createDataFrame([("h",)], ["id"])
+    corpus = random_walks(
+        edges, num_walks=400, walk_length=2, seed=11, starts=starts,
+        weighted=True,
+    ).collect()
+    first = [r["seq"][1] for r in corpus]
+    frac_x = first.count("x") / len(first)
+    assert 0.8 <= frac_x <= 0.98
+    assert set(first) <= {"x", "y", "z"}
+
+
+def test_weighted_walks_valid_and_deterministic(spark):
+    rows = [(a, b, float(1 + (a * b) % 5)) for a, b in PAIRS]
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    kw = dict(num_walks=2, walk_length=6, seed=5, weighted=True)
+    a = {
+        r["walk_id"]: tuple(r["seq"])
+        for r in random_walks(edges, **kw).collect()
+    }
+    b = {
+        r["walk_id"]: tuple(r["seq"])
+        for r in random_walks(edges.repartition(5), **kw).collect()
+    }
+    assert a == b
+    edge_set = {tuple(sorted(p)) for p in PAIRS}
+    for seq in a.values():
+        assert len(seq) == 6
+        for u, v in zip(seq, seq[1:]):
+            assert tuple(sorted((u, v))) in edge_set
+
+
+def test_skipgram_pairs_match_python(spark):
+    corpus = random_walks(
+        datagen.edges_df(spark, PAIRS), num_walks=2, walk_length=7, seed=3
+    )
+    window = 2
+    got = sorted(
+        (r["walk_id"], r["center"], r["context"])
+        for r in skipgram_pairs(corpus, window=window).collect()
+    )
+    want = []
+    for r in corpus.collect():
+        seq = list(r["seq"])
+        for i, c in enumerate(seq):
+            for j in range(max(0, i - window), min(len(seq), i + window + 1)):
+                if j != i:
+                    want.append((r["walk_id"], c, seq[j]))
+    assert got == sorted(want)
