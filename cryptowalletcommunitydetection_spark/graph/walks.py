@@ -34,15 +34,16 @@ Scale design — the three decisions that make this 100-TB-shaped:
    hub id, but that side is a |V|-row table of two columns — broadcast
    or AQE-handled.
 
-Each step is two shuffle joins of the constant-width walk frontier
-(|starts|·num_walks rows) — degree lookup, then single-row adjacency
-lookup — O(L) supersteps total, the same iterative-join shape as
-PageRank/CC/LPA. Step outputs accumulate as (walk_id, step, vertex)
+Each step is ONE shuffle join of the constant-width walk frontier
+(|starts|·num_walks rows) against the adjacency — the fetched row
+carries the next hop's degree (``dst_degree``), so no per-step degree
+lookup exists — O(L) supersteps total, the same iterative-join shape
+as PageRank/CC/LPA. Step outputs accumulate as (walk_id, step, vertex)
 rows and are assembled into sequences by one final group, so the
 frontier never carries an O(t) prefix array through the exchanges.
-Lineage is cut with ``localCheckpoint`` every few supersteps (same
-rationale as the other iterative operators: unbounded plan growth
-re-plans from scratch each step and eventually stalls the driver).
+Every frontier is persisted until the output is pinned: the final
+assembly references all L step tables, and unpinned lazy frontiers
+would re-run the whole join chain per step table (O(L²) recompute).
 
 Walks on the symmetrized undirected graph never hit a dead end (every
 vertex that appears in an edge has degree >= 1 in both directions), so
@@ -60,31 +61,52 @@ _COIN_DENOM = 1 << 53
 """Hash-coin resolution: xxhash64 folded into [0, 1) at double
 precision (2^53 distinguishable values — the full double mantissa)."""
 
-_CHECKPOINT_EVERY = 8
-"""Supersteps between lineage cuts on the walk frontier."""
-
+BROADCAST_FRONTIER_MAX_ROWS = 1_000_000
+"""Auto-strategy gate: frontiers (|starts|·num_walks rows, three
+narrow columns) at or below this broadcast per step — each superstep is
+then one shuffle-free scan stage over the cached adjacency, with the
+frontier as the hash-build side everywhere (~60 MB broadcast at the
+gate). Above it, the shuffled-hash path keeps every structure
+partitioned. Measured at sf0.1 (15k walks, L=10, 587k canonical
+edges, warm): broadcast 10.8s vs shuffle 13.2s — ~20% apart; local
+walls are bound by the L serial stage barriers, not the exchange —
+so the gate is primarily a memory-safety bound (a frontier above it
+cannot be a broadcast build side), with broadcast a modest local
+win below it."""
 
 def ranked_adjacency(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
-    """DataFrame[src, dst, rank] — both orientations of the undirected
-    graph with a dense 0-based neighbor rank per source.
+    """DataFrame[src, dst, rank, dst_degree] — both orientations of the
+    undirected graph with a dense 0-based neighbor rank per source and
+    the DESTINATION's degree on every row.
 
     ``rank`` orders neighbors by id, so it is deterministic for a given
-    edge set regardless of input partitioning. One exchange (the window
-    partitioned by ``src``).
+    edge set regardless of input partitioning. ``dst_degree`` lets a
+    walk know its next hop's transition-domain size without a second
+    join: after stepping to ``dst``, the hash choice for the following
+    step is ``mod dst_degree``. Two exchanges, both one-time (the rank
+    window partitioned by ``src``; the count window partitioned by
+    ``dst`` reuses the same symmetric table).
     """
     canon = edges.select("src", "dst") if assume_canonical else (
         canonicalize_edges(edges).select("src", "dst")
     )
     sym = symmetrize(canon, weight=False)
     w = Window.partitionBy("src").orderBy("dst")
+    w_dst = Window.partitionBy("dst")
     return sym.select(
-        "src", "dst", (F.row_number().over(w) - F.lit(1)).alias("rank")
+        "src",
+        "dst",
+        (F.row_number().over(w) - F.lit(1)).alias("rank"),
+        # in the symmetric table, |rows with src = v| == |rows with
+        # dst = v| == deg(v)
+        F.count(F.lit(1)).over(w_dst).alias("dst_degree"),
     )
 
 
 def alias_tables(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     """Walker alias tables for weighted neighbor sampling:
-    DataFrame[src, rank, dst, prob, alias_dst].
+    DataFrame[src, rank, dst, prob, alias_dst, dst_degree,
+    alias_degree].
 
     Per source vertex with K neighbors of weights w_i, the table has K
     rows; drawing ``rank ~ U{0..K-1}`` and a coin ``u ~ U[0,1)`` then
@@ -144,7 +166,28 @@ def alias_tables(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
         out["alias_dst"] = pdf["dst"].to_numpy()[alias]
         return out[["src", "rank", "dst", "prob", "alias_dst"]]
 
-    return sym.groupBy("src").applyInPandas(build, schema)
+    tab = sym.groupBy("src").applyInPandas(build, schema)
+    # annotate both stored outcomes with their vertex's degree (= that
+    # vertex's alias-table size), so a walk never needs a separate
+    # degree join per step; deg is |V| rows x 2 cols — two one-time
+    # equi-joins at build time
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        tab.join(
+            deg.select(F.col("src").alias("dst"), F.col("degree").alias("dst_degree")),
+            "dst",
+        )
+        .join(
+            deg.select(
+                F.col("src").alias("alias_dst"),
+                F.col("degree").alias("alias_degree"),
+            ),
+            "alias_dst",
+        )
+        .select(
+            "src", "rank", "dst", "prob", "alias_dst", "dst_degree", "alias_degree"
+        )
+    )
 
 
 def random_walks(
@@ -155,6 +198,7 @@ def random_walks(
     assume_canonical: bool = False,
     starts: DataFrame | None = None,
     weighted: bool = False,
+    strategy: str | None = None,
 ) -> DataFrame:
     """DeepWalk corpus: DataFrame[walk_id, start, seq].
 
@@ -170,6 +214,21 @@ def random_walks(
     constant-width join per step (rank pick + hash coin between the two
     stored outcomes), never a fan-out over the neighbor list.
 
+    ``strategy`` picks the per-step join's physical plan — results are
+    identical (the transition is a pure function of walk_id/step/seed):
+
+    - ``"broadcast"``: the frontier is broadcast; each step is ONE
+      mapper-side stage over the cached adjacency — no shuffle at all.
+      Right when |starts|·num_walks is executor-memory small (seed-set
+      walks, or any frontier under a few million rows).
+    - ``"shuffle"``: shuffled hash join; only the constant-width
+      frontier moves (the adjacency is cached pre-partitioned on the
+      join key, so its exchange is reused every step). Right at corpus
+      scale, where the frontier is W·|V| rows and can't be broadcast.
+    - ``None`` (default): auto — broadcast below
+      ``BROADCAST_FRONTIER_MAX_ROWS`` frontier rows (probed with one
+      count of the start set).
+
     Deterministic: the step-t transition of a walk is driven by
     ``xxhash64(walk_id, t, seed)`` (plus an independent
     ``xxhash64(walk_id, t, seed, 'coin')`` coin in weighted mode) —
@@ -180,6 +239,8 @@ def random_walks(
         raise ValueError("walk_length must be >= 1")
     if num_walks < 1:
         raise ValueError("num_walks must be >= 1")
+    if strategy not in (None, "broadcast", "shuffle"):
+        raise ValueError("strategy must be None, 'broadcast' or 'shuffle'")
 
     if assume_canonical:
         canon = edges
@@ -192,50 +253,81 @@ def random_walks(
         alias_tables(canon, assume_canonical=True)
         if weighted
         else ranked_adjacency(canon, assume_canonical=True)
-    ).persist()
-    # symmetrized out-degree == undirected degree; two narrow columns,
-    # |V| rows — the hot-loop lookup side
-    deg = degrees(canon).persist()
+    )
+    # cache the adjacency PRE-PARTITIONED on the per-step join key: in
+    # shuffle mode every step's join reuses this partitioning (no
+    # |E|-scale exchange per superstep — only the constant-width
+    # frontier shuffles); in broadcast mode the cache is simply the
+    # per-step scan target
+    adj = adj.repartition("src", "rank").persist()
+    # symmetrized out-degree == undirected degree; only joined ONCE, to
+    # seed the initial frontier — every later step reads the next hop's
+    # degree off the adjacency row it just fetched
+    deg = degrees(canon)
+    pinned: list[DataFrame] = []
     try:
         verts = (
             starts.select(F.col("id"))
             if starts is not None
             else deg.select("id")
         )
-        frontier = verts.select(
-            "id",
-            F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias(
-                "walk_idx"
-            ),
-        ).select(
-            F.concat_ws("#", F.col("id").cast("string"), F.col("walk_idx"))
-            .alias("walk_id"),
-            F.col("id").alias("start"),
-            F.col("id").alias("cur"),
+        if strategy is None:
+            # one |V|-scale (or |starts|-scale) count decides the join
+            # shape; the same probe-doubles-as-materialization pattern
+            # as graph/triangles.py
+            strategy = (
+                "broadcast"
+                if verts.count() * num_walks <= BROADCAST_FRONTIER_MAX_ROWS
+                else "shuffle"
+            )
+        frontier = (
+            verts.select(
+                "id",
+                F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias(
+                    "walk_idx"
+                ),
+            )
+            .join(deg, "id")
+            .select(
+                F.concat_ws("#", F.col("id").cast("string"), F.col("walk_idx"))
+                .alias("walk_id"),
+                F.col("id").alias("cur"),
+                F.col("degree").alias("cur_degree"),
+            )
+            .localCheckpoint(eager=True)
         )
+        pinned.append(frontier)
 
         # step tables accumulate as constant-width (walk_id, step, vertex)
-        # rows; the frontier itself never carries the prefix
+        # rows; the frontier never carries the prefix, and every frontier
+        # is an EAGER localCheckpoint — a leaf plan. Two reasons, both
+        # load-bearing: (1) the final assembly references all L step
+        # tables, and un-pinned lazy frontiers would re-run the whole
+        # join chain per step table (O(L^2) recompute; pinning + the
+        # single-join step measured 54s -> ~11-13s at sf0.1 for 15k
+        # walks, L=10); (2) persist() alone keeps LINEAGE, so the
+        # assembly's logical plan grows O(L^2) nodes and the driver OOMs
+        # just STRINGIFYING it for the SQL listener at L=20 on a 1g
+        # spark-submit heap (observed; checkpoint leaves keep every
+        # per-step plan O(1))
         steps = [
             frontier.select(
                 "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
             )
         ]
         for t in range(1, walk_length):
-            # 1) resolve the current vertex's degree (|V|-row dim join),
-            # 2) hash a rank, 3) fetch exactly that adjacency row
-            with_choice = (
-                frontier.join(deg, frontier["cur"] == deg["id"])
-                .select(
-                    "walk_id",
-                    "start",
-                    "cur",
-                    F.pmod(
-                        F.xxhash64(F.col("walk_id"), F.lit(t), F.lit(seed)),
-                        F.col("degree"),
-                    ).cast("int").alias("choice"),
-                )
+            # exactly ONE equi-join per step: hash a rank in
+            # [0, cur_degree), fetch that adjacency row; the row carries
+            # the next hop's degree for step t+1
+            choice = F.pmod(
+                F.xxhash64(F.col("walk_id"), F.lit(t), F.lit(seed)),
+                F.col("cur_degree"),
+            ).cast("int")
+            with_choice = frontier.select(
+                "walk_id", "cur", choice.alias("choice")
             )
+            if strategy == "broadcast":
+                with_choice = F.broadcast(with_choice)
             joined = with_choice.join(
                 adj,
                 (with_choice["cur"] == adj["src"])
@@ -251,14 +343,20 @@ def random_walks(
                     )
                     / F.lit(float(_COIN_DENOM))
                 )
-                nxt = F.when(coin < F.col("prob"), F.col("dst")).otherwise(
+                take_primary = coin < F.col("prob")
+                nxt = F.when(take_primary, F.col("dst")).otherwise(
                     F.col("alias_dst")
+                )
+                nxt_deg = F.when(take_primary, F.col("dst_degree")).otherwise(
+                    F.col("alias_degree")
                 )
             else:
                 nxt = F.col("dst")
-            frontier = joined.select("walk_id", "start", nxt.alias("cur"))
-            if t % _CHECKPOINT_EVERY == 0:
-                frontier = frontier.localCheckpoint(eager=False)
+                nxt_deg = F.col("dst_degree")
+            frontier = joined.select(
+                "walk_id", nxt.alias("cur"), nxt_deg.alias("cur_degree")
+            ).localCheckpoint(eager=True)
+            pinned.append(frontier)
             steps.append(
                 frontier.select(
                     "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
@@ -283,7 +381,8 @@ def random_walks(
         # graph/triangles.py triangles_per_vertex)
         return out.localCheckpoint(eager=True)
     finally:
-        deg.unpersist()
+        for df in pinned:
+            df.unpersist()
         adj.unpersist()
         canon.unpersist()
 
