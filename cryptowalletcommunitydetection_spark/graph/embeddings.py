@@ -1,0 +1,120 @@
+"""DeepWalk vertex embeddings: walk corpus -> Word2Vec -> embedding table.
+
+The end-to-end training-data pipeline this engine's graph side exists to
+feed: the reference clusters wallets directly on the static graph
+(`/root/reference/services/wallet_clustering.py`); the large-scale
+successor trains vertex embeddings from random-walk corpora
+(DeepWalk, Perozzi et al. 2014) and clusters / searches in the
+embedding space. This module closes that loop with public Spark parts
+only:
+
+    edge table --graph/walks.py--> corpus --MLlib Word2Vec--> embeddings
+
+and the output is shaped exactly like the engine's `embeddings` input
+table (``id``, ``embedding array<float>``), so every similarity/ANN
+operator in operators/similarity.py (brute-force / LSH / IVF top-k,
+cosine near-dup pairs) runs on it unchanged.
+
+Scale notes — where the ceilings actually are:
+
+- The corpus side inherits graph/walks.py's bounds: O(L) constant-width
+  joins, rank-indexed adjacency (no neighbor arrays), hash-derived
+  deterministic transitions.
+- MLlib Word2Vec is the documented public scale path for skip-gram on
+  Spark: it trains data-parallel over ``numPartitions`` corpus splits
+  and averages per-iteration deltas. Its known ceiling is the model
+  broadcast: vocabulary (= |V| here) x ``dim`` floats must fit on every
+  executor — 100M vertices x 128 dims x 4B = 51 GB does NOT, so at the
+  top scale you shard training by component/community (train per large
+  CC from graph/cc.py output) or drop dim. That trade is inherent to
+  the algorithm (every public implementation broadcasts the embedding
+  matrix), not to this wiring; the function exposes ``num_partitions``
+  and ``step_size`` untouched so the caller owns it.
+- Word2Vec's internal vocabulary build is one distributed count; the
+  fit is iterative executor-side C-style SGD (JVM, no Python on the hot
+  path).
+
+Determinism: the walk corpus is a pure function of (edges, seed) —
+byte-identical on any partitioning (graph/walks.py contract). Word2Vec
+SGD is seeded but averages float deltas across ``num_partitions``
+splits, so vectors are bit-reproducible only at ``num_partitions=1``
+(the test setting); at higher parallelism the GEOMETRY is stable (same
+neighborhoods cluster) while exact floats drift — same contract as
+every public distributed word2vec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .walks import random_walks
+
+
+def deepwalk_embeddings(
+    edges: DataFrame,
+    dim: int = 64,
+    num_walks: int = 10,
+    walk_length: int = 20,
+    window: int = 5,
+    seed: int = 42,
+    max_iter: int = 1,
+    num_partitions: int = 1,
+    min_count: int = 0,
+    step_size: float = 0.025,
+    assume_canonical: bool = False,
+    starts: DataFrame | None = None,
+    weighted: bool = False,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Train DeepWalk embeddings; returns DataFrame[id, embedding].
+
+    ``embedding`` is ``array<float>`` — drop-in for the similarity/ANN
+    operators and the `embeddings` table contract. ``id`` keeps the
+    vertex id's original type (Word2Vec tokens are strings internally;
+    ids are cast out again on the way back).
+
+    Pass ``corpus`` (a ``random_walks`` result — or any
+    DataFrame with a ``seq`` array column) to reuse an existing walk
+    corpus across trainings (e.g. a dim sweep); otherwise one is
+    generated from ``edges`` with the walk parameters above.
+
+    Every vertex that appears in the corpus gets a vector
+    (``min_count=0``); isolated vertices never enter walks and so never
+    get one — same domain as the walk corpus itself.
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    if corpus is None:
+        corpus = random_walks(
+            edges,
+            num_walks=num_walks,
+            walk_length=walk_length,
+            seed=seed,
+            assume_canonical=assume_canonical,
+            starts=starts,
+            weighted=weighted,
+        )
+    id_type = (
+        corpus.schema["seq"].dataType.elementType.simpleString()
+    )
+    sents = corpus.select(
+        F.transform(F.col("seq"), lambda v: v.cast("string")).alias("seq")
+    )
+    w2v = Word2Vec(
+        vectorSize=dim,
+        windowSize=window,
+        minCount=min_count,
+        maxIter=max_iter,
+        numPartitions=num_partitions,
+        stepSize=step_size,
+        seed=seed,
+        inputCol="seq",
+        outputCol="_vec",
+    )
+    model = w2v.fit(sents)
+    return model.getVectors().select(
+        F.col("word").cast(id_type).alias("id"),
+        vector_to_array(F.col("vector"), dtype="float32").alias("embedding"),
+    )

@@ -32,7 +32,7 @@ def main():
                     choices=["pagerank", "cc", "lpa", "triangles", "rollup",
                              "kcore", "clustering", "linkpred", "modularity",
                              "bfs", "betweenness", "hyperball", "truss",
-                             "walks"])
+                             "walks", "embeddings"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -68,6 +68,12 @@ def main():
                     help="walks only: walks started per vertex")
     ap.add_argument("--walk-length", type=int, default=20,
                     help="walks only: vertices per walk")
+    ap.add_argument("--dim", type=int, default=64,
+                    help="embeddings only: vector size")
+    ap.add_argument("--w2v-partitions", type=int, default=1,
+                    help="embeddings only: Word2Vec training splits "
+                         "(1 = bit-reproducible; >1 trades exact "
+                         "reproducibility for fit parallelism)")
     ap.add_argument("--walk-seed", type=int, default=42,
                     help="walks only: hash seed (same seed -> same corpus)")
     ap.add_argument("--sample-p", type=float, default=None,
@@ -270,6 +276,28 @@ def main():
         summary.update(
             num_walks=args.num_walks, walk_length=args.walk_length,
             seed=args.walk_seed,
+        )
+    elif args.algo == "embeddings":
+        from cryptowalletcommunitydetection_spark.graph.embeddings import (
+            deepwalk_embeddings,
+        )
+
+        seeds = spark.read.parquet(args.seeds) if args.seeds else None
+        emb = deepwalk_embeddings(
+            edges,
+            dim=args.dim,
+            num_walks=args.num_walks,
+            walk_length=args.walk_length,
+            seed=args.walk_seed,
+            num_partitions=args.w2v_partitions,
+            assume_canonical=canonical,
+            starts=seeds,
+        )
+        emb.write.mode("overwrite").parquet(args.out)
+        summary.update(
+            dim=args.dim, num_walks=args.num_walks,
+            walk_length=args.walk_length, seed=args.walk_seed,
+            vectors=emb.count(),
         )
 
     print("JOB_SUMMARY " + json.dumps(summary))

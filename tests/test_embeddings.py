@@ -1,0 +1,103 @@
+"""DeepWalk embedding pipeline (SURVEY.md §2.10 training-data
+extension): walk corpus -> MLlib Word2Vec -> (id, embedding) table.
+
+No closed-form oracle exists for SGD embeddings, so the contract is:
+schema (drop-in for the similarity operators / `embeddings` table),
+domain (exactly the walked vertices), geometry (community structure in
+the graph becomes cosine structure in the space — intra-clique
+similarity must beat inter-clique), reuse (a precomputed corpus trains
+identically to the implicit one), and compatibility (the ANN operators
+consume the output unchanged).
+"""
+
+import numpy as np
+import pytest
+
+from cryptowalletcommunitydetection_spark import datagen
+from cryptowalletcommunitydetection_spark.graph.embeddings import (
+    deepwalk_embeddings,
+)
+from cryptowalletcommunitydetection_spark.graph.walks import random_walks
+
+PAIRS = datagen.two_cliques_bridge(6)
+
+
+def _vectors(spark, pairs, **kw):
+    edges = datagen.edges_df(spark, pairs)
+    out = deepwalk_embeddings(edges, **kw)
+    return {r["id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in out.collect()}
+
+
+def _cos(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_schema_and_domain(spark):
+    edges = datagen.edges_df(spark, PAIRS)
+    out = deepwalk_embeddings(
+        edges, dim=8, num_walks=4, walk_length=8, seed=3, max_iter=1
+    )
+    assert out.columns == ["id", "embedding"]
+    assert out.schema["id"].dataType.simpleString() == (
+        edges.schema["src"].dataType.simpleString()
+    )
+    assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+    ids = {r["id"] for r in out.select("id").collect()}
+    assert ids == set(range(12))  # every walked vertex, original type
+
+
+def test_community_geometry(spark):
+    """Two 6-cliques joined by one bridge: average intra-clique cosine
+    must exceed average inter-clique cosine — the embedding space
+    reflects the graph's community structure."""
+    vecs = _vectors(
+        spark, PAIRS, dim=16, num_walks=30, walk_length=10, seed=7,
+        window=4, max_iter=4,
+    )
+    a, b = list(range(6)), list(range(6, 12))
+    intra = [_cos(vecs[i], vecs[j]) for g in (a, b)
+             for i in g for j in g if i < j]
+    inter = [_cos(vecs[i], vecs[j]) for i in a for j in b]
+    assert np.mean(intra) > np.mean(inter) + 0.1
+
+
+def test_corpus_reuse_matches_implicit(spark):
+    """Training on an explicitly precomputed corpus gives the same
+    vectors as letting the function generate the identical corpus
+    (num_partitions=1 -> bit-reproducible SGD)."""
+    edges = datagen.edges_df(spark, PAIRS)
+    kw = dict(dim=8, num_walks=4, walk_length=8, seed=11, max_iter=1)
+    implicit = _vectors(spark, PAIRS, **kw)
+    corpus = random_walks(edges, num_walks=4, walk_length=8, seed=11)
+    out = deepwalk_embeddings(edges, corpus=corpus, **kw)
+    explicit = {r["id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in out.collect()}
+    assert implicit.keys() == explicit.keys()
+    for k in implicit:
+        assert np.array_equal(implicit[k], explicit[k])
+
+
+def test_ann_operator_consumes_output(spark):
+    """The embedding table feeds operators/similarity.py unchanged —
+    brute-force cosine top-1 over the trained space returns, for a
+    clique-member query, a same-clique neighbor."""
+    from pyspark.sql import functions as F
+
+    from cryptowalletcommunitydetection_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    edges = datagen.edges_df(spark, PAIRS)
+    emb = deepwalk_embeddings(
+        edges, dim=16, num_walks=30, walk_length=10, seed=7, window=4,
+        max_iter=4,
+    )
+    queries = emb.filter(F.col("id") == 0).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(
+        emb.filter(F.col("id") != 0), queries, k=1, id_col="id"
+    ).collect()
+    assert len(top) == 1
+    assert top[0]["id"] in set(range(1, 6))  # same clique as vertex 0
