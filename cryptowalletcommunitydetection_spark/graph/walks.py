@@ -387,6 +387,246 @@ def random_walks(
         canon.unpersist()
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    p: float = 1.0,
+    q: float = 1.0,
+    num_walks: int = 10,
+    walk_length: int = 20,
+    seed: int = 42,
+    assume_canonical: bool = False,
+    starts: DataFrame | None = None,
+    strategy: str | None = None,
+    max_attempts: int | None = None,
+) -> DataFrame:
+    """node2vec biased corpus (Grover & Leskovec 2016):
+    DataFrame[walk_id, start, seq].
+
+    Second-order walks: the step from ``cur`` given the previous vertex
+    ``prev`` weights each neighbor x by 1/p if x == prev (return), 1 if
+    x is also a neighbor of prev (stay local), 1/q otherwise (explore).
+    p < 1 biases walks back (BFS-like, structural roles); q < 1 biases
+    outward (DFS-like, communities). p == q == 1 degenerates to the
+    uniform DeepWalk transition (and the machinery collapses to one
+    always-accepted attempt).
+
+    Physical design — rejection sampling, not per-edge alias tables.
+    The exact alternatives both break at scale: alias tables per
+    directed edge are O(Σ deg(v)²) state (a 10^6-degree hub alone needs
+    10^12 rows), and normalizing the true distribution per step means
+    fanning every walker out over its full neighbor list. Rejection
+    sampling (the published distributed-walk approach — KnightKing,
+    SIGMOD'19) needs only first-order structures: propose a neighbor
+    uniformly, accept with probability w(x)/max_w. Here each step is
+    three bounded jobs over walker·A rows (A = ``max_attempts``):
+
+    1. propose A uniform candidates per walker — one fan-out join
+       against the same rank-indexed adjacency ``random_walks`` uses
+       (choice = ``xxhash64(walk_id, t, attempt, seed) mod degree``);
+    2. classify every candidate with ONE membership join against the
+       cached symmetric edge set on (prev, x) — is x a neighbor of
+       prev? — plus a column compare for x == prev;
+    3. accept attempt i iff its hash coin < w/max_w; keep the
+       first-accepted attempt per walker (``min_by`` over an order key
+       that sorts accepted attempts before rejected ones).
+
+    A is sized so the all-rejected probability is < 1e-4 at the
+    worst-case acceptance rate r = min(1/p, 1, 1/q) / max(1/p, 1, 1/q)
+    (capped at 32); a walker whose A attempts ALL reject falls back to
+    its first proposal — still a real edge hop, just uniform-biased,
+    with probability ≤ (1-r)^A per walker-step. Deterministic end to
+    end: proposals and coins are pure hash columns, so the corpus is a
+    pure function of (edges, p, q, seed) on any partitioning.
+
+    ``strategy``/auto gate as in ``random_walks`` (the broadcast side is
+    walker·A rows here, so the gate divides by A).
+    """
+    if walk_length < 1:
+        raise ValueError("walk_length must be >= 1")
+    if num_walks < 1:
+        raise ValueError("num_walks must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    if strategy not in (None, "broadcast", "shuffle"):
+        raise ValueError("strategy must be None, 'broadcast' or 'shuffle'")
+
+    import math
+
+    w_ret, w_stay, w_far = 1.0 / p, 1.0, 1.0 / q
+    w_max = max(w_ret, w_stay, w_far)
+    r = min(w_ret, w_stay, w_far) / w_max
+    if max_attempts is None:
+        if r >= 1.0:
+            max_attempts = 1  # uniform: every attempt accepts
+        else:
+            max_attempts = min(32, max(4, math.ceil(math.log(1e-4)
+                                                    / math.log(1.0 - r))))
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+
+    canon = (edges if assume_canonical else canonicalize_edges(edges)).persist()
+    adj = ranked_adjacency(canon, assume_canonical=True)
+    adj = adj.repartition("src", "rank").persist()
+    # membership side of step (2): the symmetric edge PAIR set, cached
+    # pre-partitioned on its join key so the per-step membership join
+    # never re-exchanges it
+    mem = (
+        symmetrize(canon.select("src", "dst"), weight=False)
+        .select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+        .repartition("m_src", "m_dst")
+        .persist()
+    )
+    deg = degrees(canon)
+    pinned: list[DataFrame] = []
+    try:
+        verts = (
+            starts.select(F.col("id"))
+            if starts is not None
+            else deg.select("id")
+        )
+        if strategy is None:
+            strategy = (
+                "broadcast"
+                if verts.count() * num_walks * max_attempts
+                <= BROADCAST_FRONTIER_MAX_ROWS
+                else "shuffle"
+            )
+        frontier = (
+            verts.select(
+                "id",
+                F.explode(F.sequence(F.lit(0), F.lit(num_walks - 1))).alias(
+                    "walk_idx"
+                ),
+            )
+            .join(deg, "id")
+            .select(
+                F.concat_ws("#", F.col("id").cast("string"), F.col("walk_idx"))
+                .alias("walk_id"),
+                F.col("id").alias("prev"),  # placeholder; step 1 is uniform
+                F.col("id").alias("cur"),
+                F.col("degree").alias("cur_degree"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pinned.append(frontier)
+        steps = [
+            frontier.select(
+                "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+            )
+        ]
+        for t in range(1, walk_length):
+            # step 1 has no real prev — one uniform attempt (the
+            # standard node2vec first transition); later steps run the
+            # A-attempt rejection round
+            n_att = 1 if t == 1 else max_attempts
+            props = frontier.select(
+                "walk_id",
+                "prev",
+                "cur",
+                "cur_degree",
+                F.explode(F.sequence(F.lit(0), F.lit(n_att - 1))).alias("att"),
+            ).select(
+                "walk_id",
+                "prev",
+                "cur",
+                "att",
+                F.pmod(
+                    F.xxhash64(
+                        F.col("walk_id"), F.lit(t), F.col("att"), F.lit(seed)
+                    ),
+                    F.col("cur_degree"),
+                ).cast("int").alias("choice"),
+            )
+            if strategy == "broadcast":
+                props = F.broadcast(props)
+            cand = props.join(
+                adj,
+                (props["cur"] == adj["src"]) & (props["choice"] == adj["rank"]),
+            ).select(
+                "walk_id", "prev", "cur", "att",
+                adj["dst"].alias("x"),
+                adj["dst_degree"].alias("x_degree"),
+            )
+            if t == 1:
+                picked = cand
+            else:
+                if strategy == "broadcast":
+                    cand = F.broadcast(cand)
+                classified = cand.join(
+                    mem,
+                    (cand["prev"] == mem["m_src"])
+                    & (cand["x"] == mem["m_dst"]),
+                    "left",
+                ).select(
+                    "walk_id", "prev", "cur", "att", "x", "x_degree",
+                    mem["m_src"].isNotNull().alias("_is_local"),
+                )
+                w = (
+                    F.when(F.col("x") == F.col("prev"), F.lit(w_ret))
+                    .when(F.col("_is_local"), F.lit(w_stay))
+                    .otherwise(F.lit(w_far))
+                )
+                coin = (
+                    F.pmod(
+                        F.xxhash64(
+                            F.col("walk_id"), F.lit(t), F.col("att"),
+                            F.lit(seed), F.lit("accept"),
+                        ),
+                        F.lit(_COIN_DENOM),
+                    )
+                    / F.lit(float(_COIN_DENOM))
+                )
+                accepted = coin < w / F.lit(w_max)
+                order = F.when(accepted, F.col("att")).otherwise(
+                    F.col("att") + F.lit(n_att)
+                )
+                picked = classified.groupBy("walk_id").agg(
+                    F.min_by(
+                        F.struct("cur", "x", "x_degree"), order
+                    ).alias("_pick")
+                ).select(
+                    "walk_id",
+                    F.col("_pick.cur").alias("cur"),
+                    F.col("_pick.x").alias("x"),
+                    F.col("_pick.x_degree").alias("x_degree"),
+                )
+            frontier = picked.select(
+                "walk_id",
+                F.col("cur").alias("prev"),
+                F.col("x").alias("cur"),
+                F.col("x_degree").alias("cur_degree"),
+            ).localCheckpoint(eager=True)
+            pinned.append(frontier)
+            steps.append(
+                frontier.select(
+                    "walk_id", F.lit(t).alias("step"),
+                    F.col("cur").alias("vertex"),
+                )
+            )
+
+        long = steps[0]
+        for s in steps[1:]:
+            long = long.unionByName(s)
+        out = (
+            long.groupBy("walk_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("step", "vertex"))),
+                    lambda s: s["vertex"],
+                ).alias("seq")
+            )
+            .withColumn("start", F.element_at("seq", 1))
+            .select("walk_id", "start", "seq")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for df in pinned:
+            df.unpersist()
+        mem.unpersist()
+        adj.unpersist()
+        canon.unpersist()
+
+
 def skipgram_pairs(corpus: DataFrame, window: int = 5) -> DataFrame:
     """(center, context) training pairs from a walk corpus:
     DataFrame[walk_id, center, context].

@@ -68,6 +68,11 @@ def main():
                     help="walks only: walks started per vertex")
     ap.add_argument("--walk-length", type=int, default=20,
                     help="walks only: vertices per walk")
+    ap.add_argument("--p", type=float, default=1.0,
+                    help="walks only: node2vec return parameter (p != 1 or "
+                         "q != 1 switches to second-order biased walks)")
+    ap.add_argument("--q", type=float, default=1.0,
+                    help="walks only: node2vec in-out parameter")
     ap.add_argument("--dim", type=int, default=64,
                     help="embeddings only: vector size")
     ap.add_argument("--w2v-partitions", type=int, default=1,
@@ -261,21 +266,37 @@ def main():
             out = edge_support(edges, assume_canonical=canonical)
         out.write.mode("overwrite").parquet(args.out)
     elif args.algo == "walks":
-        from cryptowalletcommunitydetection_spark.graph.walks import random_walks
+        from cryptowalletcommunitydetection_spark.graph.walks import (
+            node2vec_walks,
+            random_walks,
+        )
 
         seeds = spark.read.parquet(args.seeds) if args.seeds else None
-        corpus = random_walks(
-            edges,
-            num_walks=args.num_walks,
-            walk_length=args.walk_length,
-            seed=args.walk_seed,
-            assume_canonical=canonical,
-            starts=seeds,
-        )
+        biased = args.p != 1.0 or args.q != 1.0
+        if biased:
+            corpus = node2vec_walks(
+                edges,
+                p=args.p,
+                q=args.q,
+                num_walks=args.num_walks,
+                walk_length=args.walk_length,
+                seed=args.walk_seed,
+                assume_canonical=canonical,
+                starts=seeds,
+            )
+        else:
+            corpus = random_walks(
+                edges,
+                num_walks=args.num_walks,
+                walk_length=args.walk_length,
+                seed=args.walk_seed,
+                assume_canonical=canonical,
+                starts=seeds,
+            )
         corpus.write.mode("overwrite").parquet(args.out)
         summary.update(
             num_walks=args.num_walks, walk_length=args.walk_length,
-            seed=args.walk_seed,
+            seed=args.walk_seed, p=args.p, q=args.q,
         )
     elif args.algo == "embeddings":
         from cryptowalletcommunitydetection_spark.graph.embeddings import (

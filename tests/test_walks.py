@@ -15,6 +15,7 @@ import pytest
 from cryptowalletcommunitydetection_spark import datagen
 from cryptowalletcommunitydetection_spark.graph.walks import (
     alias_tables,
+    node2vec_walks,
     random_walks,
     ranked_adjacency,
     skipgram_pairs,
@@ -226,3 +227,98 @@ def test_skipgram_pairs_match_python(spark):
                 if j != i:
                     want.append((r["walk_id"], c, seq[j]))
     assert got == sorted(want)
+
+
+# ---- node2vec second-order walks -------------------------------------
+
+def _n2v(spark, pairs, **kw):
+    edges = datagen.edges_df(spark, pairs)
+    return {
+        r["walk_id"]: (r["start"], tuple(r["seq"]))
+        for r in node2vec_walks(edges, **kw).collect()
+    }
+
+
+def test_n2v_every_step_is_an_edge_and_shape(spark):
+    got = _n2v(spark, PAIRS, p=0.5, q=2.0, num_walks=3, walk_length=8, seed=4)
+    g = nx.Graph()
+    g.add_edges_from(PAIRS)
+    assert len(got) == 3 * g.number_of_nodes()
+    edge_set = {tuple(sorted(p)) for p in PAIRS}
+    for _, (start, seq) in got.items():
+        assert len(seq) == 8
+        assert seq[0] == start
+        for u, v in zip(seq, seq[1:]):
+            assert tuple(sorted((u, v))) in edge_set
+
+
+def test_n2v_deterministic_across_partitioning(spark):
+    a = _n2v(spark, PAIRS, p=0.25, q=4.0, num_walks=2, walk_length=6, seed=5)
+    edges = datagen.edges_df(spark, PAIRS).repartition(7)
+    b = {
+        r["walk_id"]: (r["start"], tuple(r["seq"]))
+        for r in node2vec_walks(
+            edges, p=0.25, q=4.0, num_walks=2, walk_length=6, seed=5
+        ).collect()
+    }
+    assert a == b
+
+
+def test_n2v_return_bias(spark):
+    """p << 1 makes immediate returns (seq[t+1] == seq[t-1]) much more
+    frequent than p >> 1 — the defining second-order effect."""
+    def return_rate(p):
+        got = _n2v(spark, PAIRS, p=p, q=1.0, num_walks=30,
+                   walk_length=8, seed=13)
+        hits = total = 0
+        for _, (_, seq) in got.items():
+            for i in range(2, len(seq)):
+                total += 1
+                hits += seq[i] == seq[i - 2]
+        return hits / total
+
+    assert return_rate(0.05) > return_rate(20.0) + 0.15
+
+
+def test_n2v_exploration_bias(spark):
+    """q << 1 (DFS-like) walks from a lollipop clique escape down the
+    path farther than q >> 1 (BFS-like) walks."""
+    # K6 clique (0..5) with a 10-vertex path hanging off vertex 0
+    pairs = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    pairs += [(0, 6)] + [(6 + i, 7 + i) for i in range(9)]
+
+    def mean_max_depth(q):
+        edges = datagen.edges_df(spark, pairs)
+        starts = spark.createDataFrame([(0,)], ["id"])
+        got = node2vec_walks(
+            edges, p=1.0, q=q, num_walks=60, walk_length=10, seed=17,
+            starts=starts,
+        ).collect()
+        depth = lambda v: v - 5 if v >= 6 else 0
+        return sum(max(depth(v) for v in r["seq"]) for r in got) / len(got)
+
+    assert mean_max_depth(0.1) > mean_max_depth(10.0) + 0.5
+
+
+def test_n2v_uniform_degenerates_to_single_attempt(spark):
+    """p == q == 1 collapses to one always-accepted attempt; the corpus
+    is valid and exactly shaped (not compared to random_walks — the
+    hash inputs differ by design)."""
+    got = _n2v(spark, PAIRS, p=1.0, q=1.0, num_walks=2, walk_length=5, seed=2)
+    edge_set = {tuple(sorted(p)) for p in PAIRS}
+    for _, (_, seq) in got.items():
+        assert len(seq) == 5
+        for u, v in zip(seq, seq[1:]):
+            assert tuple(sorted((u, v))) in edge_set
+
+
+def test_n2v_validation(spark):
+    edges = datagen.edges_df(spark, PAIRS)
+    with pytest.raises(ValueError):
+        node2vec_walks(edges, p=0.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(edges, q=-1.0)
+    with pytest.raises(ValueError):
+        node2vec_walks(edges, strategy="bogus")
+    with pytest.raises(ValueError):
+        node2vec_walks(edges, max_attempts=0)
