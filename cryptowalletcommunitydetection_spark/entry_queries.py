@@ -379,6 +379,50 @@ def q_triangles(spark, sf_dir):
     )
 
 
+def q_ktruss(spark, sf_dir):
+    """G17 at the gate: the 4-truss of the supplier co-occurrence graph
+    (every surviving edge closes >= 2 triangles INSIDE the surviving
+    subgraph — peel cascades matter, not just one support pass)."""
+    from .graph.truss import k_truss
+
+    return k_truss(
+        _cooccur_edges(spark, sf_dir), 4, assume_canonical=True
+    ).select("src", "dst")
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled truss peel: e_{i+1} = edges of e_i whose in-subgraph
+    support (common-neighbor count within e_i) is >= k-2. The fixpoint
+    IS the k-truss, so an unroll deeper than the convergence depth is
+    exact (extra rounds are identity); sf0.01 cascade sizes are
+    [403, 100, 39, 35, 31, 30, 30, ...] — converged by round 5, so 12
+    rounds is a 2.4x margin (same convention as the kcore unroll: a
+    gate failure with matching row counts means the ORACLE's depth was
+    outgrown, not an engine bug). AS MATERIALIZED for the same reason
+    as the kcore chain: each e_i is referenced three times and default
+    CTE inlining would blow the plan up exponentially."""
+    body = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body.append(f"""
+s{p} AS (SELECT src AS u, dst AS v FROM e{p} UNION ALL SELECT dst, src FROM e{p}),
+sup{p} AS (SELECT e.src, e.dst, count(*) AS sup
+       FROM e{p} e JOIN s{p} s1 ON s1.u = e.src
+                   JOIN s{p} s2 ON s2.u = e.dst AND s2.v = s1.v
+       GROUP BY 1, 2),
+e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e
+       JOIN sup{p} s ON e.src = s.src AND e.dst = s.dst
+       WHERE s.sup >= {k - 2})""")
+    return (
+        "WITH " + _COOCCUR_SQL + """,
+e0 AS MATERIALIZED (SELECT src, dst FROM ce),"""
+        + ",".join(body)
+        + f"""
+SELECT src, dst FROM e{rounds}
+"""
+    )
+
+
 def q_community_rollup(spark, sf_dir):
     # trade pairs are canonical (see q_cc_components) -> skip the two
     # defensive dedup exchanges inside the rollup. group_id rides along
@@ -1498,7 +1542,10 @@ QUERIES = {
     "asof_last": q_asof_last,
     "sessionize": q_sessionize,
     "scalar_functions": q_scalar_functions,
-    "native_transfer_filter": q_native_transfer_filter,
+    # round 4: native_transfer_filter folded out (P4's conjunctive
+    # predicate machinery stays pytest-green in test_relational and its
+    # filter shape is exercised by filter_project_distinct's gate) to
+    # free this slot for the ktruss peel gate — see SURVEY §2.11
     "recency_filter": q_recency_filter,
     # round 4: json_extract folded into scalar_functions (json_k column,
     # same get_json_object machinery) to free this slot for the
@@ -1529,6 +1576,7 @@ QUERIES = {
     "cosine_near_dups": q_cosine_near_dups,
     "ivf_topk": q_ivf_topk,
     "triangles_per_vertex": q_triangles,
+    "ktruss": q_ktruss,
     "minhash_candidates": q_minhash_candidates,
     "minhash_verified": q_minhash_verified,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1959,10 +2007,7 @@ SELECT doc_id, fp_hash FROM m, unnest(list_distinct(mins)) AS u(fp_hash)
     # the same SQL gates both paths
     "edge_log_incremental": _FILES_EDGES_SQL,
     "pagerank_converged": _pagerank_recursive_sql(160),
-    "native_transfer_filter": """
-SELECT o_orderkey FROM orders
-WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 != 0 AND o_orderkey % 2 = 1
-""",
+    "ktruss": _ktruss_sql(4, 12),
     "recency_filter": """
 SELECT user_id, count(*) AS n_events FROM events
 WHERE user_id IN (SELECT user_id FROM events GROUP BY 1
