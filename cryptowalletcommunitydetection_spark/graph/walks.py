@@ -199,6 +199,7 @@ def random_walks(
     starts: DataFrame | None = None,
     weighted: bool = False,
     strategy: str | None = None,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """DeepWalk corpus: DataFrame[walk_id, start, seq].
 
@@ -229,6 +230,18 @@ def random_walks(
       ``BROADCAST_FRONTIER_MAX_ROWS`` frontier rows (probed with one
       count of the start set).
 
+    ``adjacency``: a prebuilt ``ranked_adjacency`` (or, with
+    ``weighted=True``, ``alias_tables``) result for THESE edges. The
+    build (two windows over the 2|E|-row symmetric table) is a
+    meaningful one-time cost — measured at 11M canonical edges,
+    steal-clean: ~10s to build+materialize vs ~17s for a 200k-walker
+    L=5 corpus — and it is reusable across corpora (different seeds /
+    walk counts / start sets), so callers generating several corpora
+    should build once and pass it in. Caller-managed: persist it
+    yourself (ideally ``.repartition("src", "rank")`` first so the
+    shuffle path reuses the partitioning); this function will not
+    unpersist it.
+
     Deterministic: the step-t transition of a walk is driven by
     ``xxhash64(walk_id, t, seed)`` (plus an independent
     ``xxhash64(walk_id, t, seed, 'coin')`` coin in weighted mode) —
@@ -248,18 +261,27 @@ def random_walks(
         canon = canonicalize_edges(
             edges, weight="weight" if weighted and "weight" in edges.columns else None
         )
-    canon = canon.persist()  # consumed by adjacency, degrees, and starts
-    adj = (
-        alias_tables(canon, assume_canonical=True)
-        if weighted
-        else ranked_adjacency(canon, assume_canonical=True)
-    )
-    # cache the adjacency PRE-PARTITIONED on the per-step join key: in
-    # shuffle mode every step's join reuses this partitioning (no
-    # |E|-scale exchange per superstep — only the constant-width
-    # frontier shuffles); in broadcast mode the cache is simply the
-    # per-step scan target
-    adj = adj.repartition("src", "rank").persist()
+    # consumed by adjacency, degrees, and starts — but never drop a
+    # cache the CALLER owns (an already-persisted canonical table passed
+    # with assume_canonical=True stays persisted after this returns)
+    canon_owned = not canon.storageLevel.useMemory
+    if canon_owned:
+        canon = canon.persist()
+    adj_owned = adjacency is None
+    if adj_owned:
+        adj = (
+            alias_tables(canon, assume_canonical=True)
+            if weighted
+            else ranked_adjacency(canon, assume_canonical=True)
+        )
+        # cache the adjacency PRE-PARTITIONED on the per-step join key:
+        # in shuffle mode every step's join reuses this partitioning (no
+        # |E|-scale exchange per superstep — only the constant-width
+        # frontier shuffles); in broadcast mode the cache is simply the
+        # per-step scan target
+        adj = adj.repartition("src", "rank").persist()
+    else:
+        adj = adjacency
     # symmetrized out-degree == undirected degree; only joined ONCE, to
     # seed the initial frontier — every later step reads the next hop's
     # degree off the adjacency row it just fetched
@@ -383,8 +405,10 @@ def random_walks(
     finally:
         for df in pinned:
             df.unpersist()
-        adj.unpersist()
-        canon.unpersist()
+        if adj_owned:
+            adj.unpersist()
+        if canon_owned:
+            canon.unpersist()
 
 
 def node2vec_walks(
@@ -398,6 +422,7 @@ def node2vec_walks(
     starts: DataFrame | None = None,
     strategy: str | None = None,
     max_attempts: int | None = None,
+    adjacency: DataFrame | None = None,
 ) -> DataFrame:
     """node2vec biased corpus (Grover & Leskovec 2016):
     DataFrame[walk_id, start, seq].
@@ -439,7 +464,9 @@ def node2vec_walks(
     pure function of (edges, p, q, seed) on any partitioning.
 
     ``strategy``/auto gate as in ``random_walks`` (the broadcast side is
-    walker·A rows here, so the gate divides by A).
+    walker·A rows here, so the gate divides by A); ``adjacency`` reuses
+    a prebuilt ``ranked_adjacency`` exactly as in ``random_walks``
+    (caller-persisted, never unpersisted here).
     """
     if walk_length < 1:
         raise ValueError("walk_length must be >= 1")
@@ -464,9 +491,16 @@ def node2vec_walks(
     if max_attempts < 1:
         raise ValueError("max_attempts must be >= 1")
 
-    canon = (edges if assume_canonical else canonicalize_edges(edges)).persist()
-    adj = ranked_adjacency(canon, assume_canonical=True)
-    adj = adj.repartition("src", "rank").persist()
+    canon = edges if assume_canonical else canonicalize_edges(edges)
+    canon_owned = not canon.storageLevel.useMemory  # see random_walks
+    if canon_owned:
+        canon = canon.persist()
+    adj_owned = adjacency is None
+    if adj_owned:
+        adj = ranked_adjacency(canon, assume_canonical=True)
+        adj = adj.repartition("src", "rank").persist()
+    else:
+        adj = adjacency
     # membership side of step (2): the symmetric edge PAIR set, cached
     # pre-partitioned on its join key so the per-step membership join
     # never re-exchanges it
@@ -623,8 +657,10 @@ def node2vec_walks(
         for df in pinned:
             df.unpersist()
         mem.unpersist()
-        adj.unpersist()
-        canon.unpersist()
+        if adj_owned:
+            adj.unpersist()
+        if canon_owned:
+            canon.unpersist()
 
 
 def skipgram_pairs(corpus: DataFrame, window: int = 5) -> DataFrame:

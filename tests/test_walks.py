@@ -322,3 +322,53 @@ def test_n2v_validation(spark):
         node2vec_walks(edges, strategy="bogus")
     with pytest.raises(ValueError):
         node2vec_walks(edges, max_attempts=0)
+
+
+def test_adjacency_reuse_identical_corpus(spark):
+    """A caller-prebuilt (persisted, pre-partitioned) adjacency yields
+    byte-identical corpora for both walk flavors — the one-time build
+    is reusable across corpora, the scale-dominant amortization."""
+    edges = datagen.edges_df(spark, PAIRS)
+    adj = ranked_adjacency(edges).repartition("src", "rank").persist()
+    try:
+        base = _corpus(spark, PAIRS, num_walks=2, walk_length=6, seed=5)
+        reused = {
+            r["walk_id"]: (r["start"], tuple(r["seq"]))
+            for r in random_walks(
+                edges, num_walks=2, walk_length=6, seed=5, adjacency=adj
+            ).collect()
+        }
+        assert base == reused
+        n2v_base = _n2v(spark, PAIRS, p=0.5, q=2.0, num_walks=2,
+                        walk_length=6, seed=5)
+        n2v_reused = {
+            r["walk_id"]: (r["start"], tuple(r["seq"]))
+            for r in node2vec_walks(
+                edges, p=0.5, q=2.0, num_walks=2, walk_length=6, seed=5,
+                adjacency=adj,
+            ).collect()
+        }
+        assert n2v_base == n2v_reused
+    finally:
+        adj.unpersist()
+
+
+def test_caller_cache_preserved(spark):
+    """A caller-persisted canonical table passed with
+    assume_canonical=True is still persisted after the walk returns
+    (the engine only unpersists caches it created)."""
+    from cryptowalletcommunitydetection_spark.graph.edges import (
+        canonicalize_edges,
+    )
+
+    canon = canonicalize_edges(datagen.edges_df(spark, PAIRS)).persist()
+    try:
+        canon.count()
+        random_walks(canon, num_walks=1, walk_length=3, seed=1,
+                     assume_canonical=True).count()
+        assert canon.storageLevel.useMemory
+        node2vec_walks(canon, p=0.5, q=2.0, num_walks=1, walk_length=3,
+                       seed=1, assume_canonical=True).count()
+        assert canon.storageLevel.useMemory
+    finally:
+        canon.unpersist()
