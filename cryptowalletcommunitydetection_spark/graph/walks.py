@@ -420,6 +420,7 @@ def node2vec_walks(
     seed: int = 42,
     assume_canonical: bool = False,
     starts: DataFrame | None = None,
+    weighted: bool = False,
     strategy: str | None = None,
     max_attempts: int | None = None,
     adjacency: DataFrame | None = None,
@@ -463,10 +464,19 @@ def node2vec_walks(
     end: proposals and coins are pure hash columns, so the corpus is a
     pure function of (edges, p, q, seed) on any partitioning.
 
+    ``weighted=True`` composes edge weights with the (p, q) bias the
+    way the paper defines (π(x) ∝ w(cur, x) · α_pq(prev, x)), and the
+    rejection scheme absorbs it for free: the PROPOSAL draws from the
+    Walker alias tables (∝ w — one extra hash coin between the two
+    stored outcomes, still one adjacency row per attempt) while the
+    ACCEPTANCE coin applies α/max_α unchanged, so accepted samples
+    follow the product distribution exactly.
+
     ``strategy``/auto gate as in ``random_walks`` (the broadcast side is
     walker·A rows here, so the gate divides by A); ``adjacency`` reuses
-    a prebuilt ``ranked_adjacency`` exactly as in ``random_walks``
-    (caller-persisted, never unpersisted here).
+    a prebuilt ``ranked_adjacency`` (``alias_tables`` when weighted)
+    exactly as in ``random_walks`` (caller-persisted, never unpersisted
+    here).
     """
     if walk_length < 1:
         raise ValueError("walk_length must be >= 1")
@@ -491,13 +501,23 @@ def node2vec_walks(
     if max_attempts < 1:
         raise ValueError("max_attempts must be >= 1")
 
-    canon = edges if assume_canonical else canonicalize_edges(edges)
+    if assume_canonical:
+        canon = edges
+    else:
+        canon = canonicalize_edges(
+            edges,
+            weight="weight" if weighted and "weight" in edges.columns else None,
+        )
     canon_owned = not canon.storageLevel.useMemory  # see random_walks
     if canon_owned:
         canon = canon.persist()
     adj_owned = adjacency is None
     if adj_owned:
-        adj = ranked_adjacency(canon, assume_canonical=True)
+        adj = (
+            alias_tables(canon, assume_canonical=True)
+            if weighted
+            else ranked_adjacency(canon, assume_canonical=True)
+        )
         adj = adj.repartition("src", "rank").persist()
     else:
         adj = adjacency
@@ -573,13 +593,39 @@ def node2vec_walks(
             )
             if strategy == "broadcast":
                 props = F.broadcast(props)
-            cand = props.join(
+            fetched = props.join(
                 adj,
                 (props["cur"] == adj["src"]) & (props["choice"] == adj["rank"]),
-            ).select(
+            )
+            if weighted:
+                # weighted PROPOSAL (∝ w): alias coin between the row's
+                # two stored outcomes — independent of the acceptance
+                # coin below, so the accepted marginal is the product
+                # distribution w · α
+                coin_w = (
+                    F.pmod(
+                        F.xxhash64(
+                            F.col("walk_id"), F.lit(t), F.col("att"),
+                            F.lit(seed), F.lit("alias"),
+                        ),
+                        F.lit(_COIN_DENOM),
+                    )
+                    / F.lit(float(_COIN_DENOM))
+                )
+                take_primary = coin_w < F.col("prob")
+                x_col = F.when(take_primary, F.col("dst")).otherwise(
+                    F.col("alias_dst")
+                )
+                x_deg_col = F.when(
+                    take_primary, F.col("dst_degree")
+                ).otherwise(F.col("alias_degree"))
+            else:
+                x_col = adj["dst"]
+                x_deg_col = adj["dst_degree"]
+            cand = fetched.select(
                 "walk_id", "prev", "cur", "att",
-                adj["dst"].alias("x"),
-                adj["dst_degree"].alias("x_degree"),
+                x_col.alias("x"),
+                x_deg_col.alias("x_degree"),
             )
             if t == 1:
                 picked = cand

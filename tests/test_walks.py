@@ -372,3 +372,59 @@ def test_caller_cache_preserved(spark):
         assert canon.storageLevel.useMemory
     finally:
         canon.unpersist()
+
+
+def test_n2v_weighted_concentration(spark):
+    """Weighted node2vec proposals follow edge weight: from a hub whose
+    one spoke carries 50x the weight, most first hops take the heavy
+    spoke (first transition is ∝ w, bias-free)."""
+    from pyspark.sql import functions as F
+
+    pairs = datagen.star(9)
+    edges = datagen.edges_df(spark, pairs).withColumn(
+        "weight",
+        F.when((F.col("src") == 0) & (F.col("dst") == 1), 50.0).otherwise(1.0),
+    )
+    starts = spark.createDataFrame([(0,)], ["id"])
+    got = node2vec_walks(
+        edges, p=0.5, q=2.0, num_walks=120, walk_length=2, seed=23,
+        starts=starts, weighted=True,
+    ).collect()
+    heavy = sum(1 for r in got if r["seq"][1] == 1)
+    # expected ~50/58 ≈ 86%; demand a loose majority band
+    assert heavy / len(got) > 0.6
+
+
+def test_n2v_weighted_deterministic_and_valid(spark):
+    from pyspark.sql import functions as F
+
+    pairs = datagen.two_cliques_bridge(5)
+    edges = datagen.edges_df(spark, pairs).withColumn(
+        "weight", (F.col("src") + F.col("dst") + 1).cast("double")
+    )
+    kw = dict(p=0.5, q=2.0, num_walks=2, walk_length=6, seed=9, weighted=True)
+    a = {r["walk_id"]: tuple(r["seq"])
+         for r in node2vec_walks(edges, **kw).collect()}
+    b = {r["walk_id"]: tuple(r["seq"])
+         for r in node2vec_walks(edges.repartition(5), **kw).collect()}
+    assert a == b
+    edge_set = {tuple(sorted(p)) for p in pairs}
+    for seq in a.values():
+        for u, v in zip(seq, seq[1:]):
+            assert tuple(sorted((u, v))) in edge_set
+
+
+def test_walk_plans_pure_jvm(spark):
+    """ranked_adjacency and skipgram_pairs stay entirely JVM-side; the
+    only Python node anywhere in the walk family is alias_tables'
+    Arrow FlatMapGroupsInPandas."""
+    edges = datagen.edges_df(spark, PAIRS)
+    adj_plan = ranked_adjacency(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in adj_plan
+    assert "Python" not in adj_plan  # fully JVM
+    corpus = random_walks(edges, num_walks=1, walk_length=4, seed=1)
+    sg_plan = skipgram_pairs(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in sg_plan
+    alias_plan = alias_tables(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in alias_plan  # Arrow group map only
+    assert "FlatMapGroupsInPandas" in alias_plan
