@@ -200,6 +200,13 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
 
     cooc = EQ._cooccur_edges(spark, sf_dir)
     timed("ktruss", lambda: k_truss(cooc, 4, assume_canonical=True).count())
+    from cryptowalletcommunitydetection_spark.graph.hits import hits as _hits
+
+    timed(
+        "hits",
+        lambda: _hits(spark, edges, directed=False,
+                      assume_canonical=True).scores.count(),
+    )
     timed(
         "walks",
         lambda: random_walks(

@@ -32,7 +32,7 @@ def main():
                     choices=["pagerank", "cc", "lpa", "triangles", "rollup",
                              "kcore", "clustering", "linkpred", "modularity",
                              "bfs", "betweenness", "hyperball", "truss",
-                             "walks", "embeddings"])
+                             "walks", "embeddings", "hits"])
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--edges", help="parquet path: src, dst[, weight]")
     src.add_argument("--files", help="files table: parquet path or Iceberg name")
@@ -298,6 +298,15 @@ def main():
             num_walks=args.num_walks, walk_length=args.walk_length,
             seed=args.walk_seed, p=args.p, q=args.q,
         )
+    elif args.algo == "hits":
+        from cryptowalletcommunitydetection_spark.graph.hits import hits
+
+        res = hits(
+            spark, edges, tol=args.tol, max_iter=args.max_iter,
+            directed=args.directed, assume_canonical=canonical,
+        )
+        res.scores.write.mode("overwrite").parquet(args.out)
+        summary.update(supersteps=res.supersteps, converged=res.converged)
     elif args.algo == "embeddings":
         from cryptowalletcommunitydetection_spark.graph.embeddings import (
             deepwalk_embeddings,
