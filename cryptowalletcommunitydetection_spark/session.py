@@ -45,6 +45,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Bound the textual plan the SQL listener renders per query.
+        # Iterative operators can legitimately reach thousands of plan
+        # nodes, and the default (unbounded) explain string OOMed a 1g
+        # spark-submit driver purely on StringConcat while the query
+        # itself was fine (observed with a 20-superstep walk chain
+        # before its per-step checkpoints landed). 8 MB keeps plans
+        # debuggable; truncation only affects the UI/event-log string.
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         # local mode: shuffle spill dirs default fine; checkpoints via engine-managed parquet
     )
     if extra_conf:

@@ -90,7 +90,14 @@ def main():
 
     # build_session is a no-op wrapper when spark-submit already created
     # the session (getOrCreate); configs come from --conf in that case
-    spark = SparkSession.builder.getOrCreate()
+    spark = (
+        SparkSession.builder
+        # defensive: unbounded explain strings OOMed a 1g driver on
+        # deep iterative plans (see session.py); harmless if the
+        # cluster config overrides it
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
+        .getOrCreate()
+    )
 
     from cryptowalletcommunitydetection_spark.graph.cc import connected_components
     from cryptowalletcommunitydetection_spark.graph.edges import derive_edges

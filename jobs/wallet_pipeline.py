@@ -61,7 +61,14 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
-    spark = SparkSession.builder.getOrCreate()
+    spark = (
+        SparkSession.builder
+        # defensive: unbounded explain strings OOMed a 1g driver on
+        # deep iterative plans (see session.py); harmless if the
+        # cluster config overrides it
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
+        .getOrCreate()
+    )
 
     from cryptowalletcommunitydetection_spark.graph.rollup import (
         bipartite_group_rollup,
