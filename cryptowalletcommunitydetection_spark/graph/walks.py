@@ -238,9 +238,10 @@ def random_walks(
     L=5 corpus — and it is reusable across corpora (different seeds /
     walk counts / start sets), so callers generating several corpora
     should build once and pass it in. Caller-managed: persist it
-    yourself (ideally ``.repartition("src", "rank")`` first so the
-    shuffle path reuses the partitioning); this function will not
-    unpersist it.
+    yourself (ideally ``.repartition("src", "rank")
+    .sortWithinPartitions("src", "rank")`` first so the shuffle
+    path reuses both the partitioning and the sort order); this
+    function will not unpersist it.
 
     Deterministic: the step-t transition of a walk is driven by
     ``xxhash64(walk_id, t, seed)`` (plus an independent
@@ -279,7 +280,15 @@ def random_walks(
         # |E|-scale exchange per superstep — only the constant-width
         # frontier shuffles); in broadcast mode the cache is simply the
         # per-step scan target
-        adj = adj.repartition("src", "rank").persist()
+        # pre-partitioned AND pre-sorted on the per-step join key —
+        # a partitioned-but-unsorted cache makes every superstep's
+        # sort-merge join re-sort the full 2|E|-row adjacency (the
+        # graph/hits.py measurement: layout cost dominates the loop)
+        adj = (
+            adj.repartition("src", "rank")
+            .sortWithinPartitions("src", "rank")
+            .persist()
+        )
     else:
         adj = adjacency
     # symmetrized out-degree == undirected degree; only joined ONCE, to
@@ -518,7 +527,15 @@ def node2vec_walks(
             if weighted
             else ranked_adjacency(canon, assume_canonical=True)
         )
-        adj = adj.repartition("src", "rank").persist()
+        # pre-partitioned AND pre-sorted on the per-step join key —
+        # a partitioned-but-unsorted cache makes every superstep's
+        # sort-merge join re-sort the full 2|E|-row adjacency (the
+        # graph/hits.py measurement: layout cost dominates the loop)
+        adj = (
+            adj.repartition("src", "rank")
+            .sortWithinPartitions("src", "rank")
+            .persist()
+        )
     else:
         adj = adjacency
     # membership side of step (2): the symmetric edge PAIR set, cached
@@ -528,6 +545,7 @@ def node2vec_walks(
         symmetrize(canon.select("src", "dst"), weight=False)
         .select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
         .repartition("m_src", "m_dst")
+        .sortWithinPartitions("m_src", "m_dst")
         .persist()
     )
     deg = degrees(canon)
