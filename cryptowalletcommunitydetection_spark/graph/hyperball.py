@@ -135,7 +135,10 @@ def hyperball(
         else:
             canon = canonicalize_edges(edges).select("src", "dst")
         e = symmetrize(canon, weight=False)
-    e = e.persist()
+    # partitioned AND sorted on the per-round join key (src): an
+    # un-laid-out cache re-exchanges + re-sorts all 2|E| rows in every
+    # round's sort-merge join (graph/hits.py layout measurement)
+    e = e.repartition("src").sortWithinPartitions("src").persist()
 
     verts = vertices_of(e).persist()
     # one-element sketches: groupBy over the (distinct) vertex table —

@@ -207,7 +207,15 @@ def core_numbers(
             canon.unpersist()
             return res
 
-    e = symmetrize(canon, weight=False).persist(StorageLevel.MEMORY_AND_DISK)
+    # partitioned AND sorted on the per-round join key: an un-laid-out
+    # cache re-exchanges + re-sorts all 2|E| rows in every round's
+    # sort-merge join (graph/hits.py layout measurement; LPA/kcore
+    # numbers in BENCH/BASELINE.md)
+    e = (
+        symmetrize(canon, weight=False)
+        .repartition("src").sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cores = (
         e.groupBy(F.col("dst").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core"))

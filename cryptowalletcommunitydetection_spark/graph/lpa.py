@@ -208,6 +208,20 @@ def label_propagation(
             e.unpersist()
             return res
 
+    # distributed loop ahead: re-lay the cached vote table out
+    # partitioned AND sorted on the per-round join key — an un-laid-out
+    # cache makes every round's sort-merge join re-exchange and re-sort
+    # all 2|E| vote rows (the graph/hits.py layout measurement; for LPA
+    # at 11M canonical edges see BENCH/BASELINE.md). One extra exchange
+    # +sort, bought once; the local kernel path above never pays it.
+    e_sorted = (
+        e.repartition("src").sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e_sorted.count()
+    e.unpersist()
+    e = e_sorted
+
     verts = vertices_of(e).persist(StorageLevel.MEMORY_AND_DISK)
     labels = verts.select("id", F.col("id").alias("label"))
 

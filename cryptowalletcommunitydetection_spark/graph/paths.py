@@ -67,7 +67,13 @@ def multi_source_distances(
         else:
             canon = canonicalize_edges(edges).select("src", "dst")
         e = symmetrize(canon, weight=False)
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    # partitioned AND sorted on the per-round join key (src): an
+    # un-laid-out cache re-exchanges + re-sorts all 2|E| rows in every
+    # round's sort-merge join (graph/hits.py layout measurement)
+    e = (
+        e.repartition("src").sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     e.count()
 
     key = ["id", "source"] if per_source else ["id"]
