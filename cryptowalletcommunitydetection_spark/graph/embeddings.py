@@ -102,6 +102,19 @@ def deepwalk_embeddings(
     sents = corpus.select(
         F.transform(F.col("seq"), lambda v: v.cast("string")).alias("seq")
     )
+    if num_partitions == 1:
+        # make the documented bit-reproducibility contract actually
+        # hold: Word2Vec repartition()s its input internally, and a
+        # multi-partition corpus reaches the single training split in
+        # shuffle-fetch order — which is timing-dependent, so two runs
+        # over the SAME corpus could SGD in different sentence orders.
+        # A narrow coalesce + in-partition sort fixes a deterministic
+        # total order (identical walks are interchangeable for SGD, so
+        # seq alone is a sufficient key). Cost is one single-task sort,
+        # paid only at num_partitions=1 — the small-scale/testing
+        # setting; data-parallel training keeps its documented
+        # geometry-stable-not-bit-stable contract untouched.
+        sents = sents.coalesce(1).sortWithinPartitions("seq")
     w2v = Word2Vec(
         vectorSize=dim,
         windowSize=window,

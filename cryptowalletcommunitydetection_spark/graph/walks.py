@@ -74,6 +74,228 @@ so the gate is primarily a memory-safety bound (a frontier above it
 cannot be a broadcast build side), with broadcast a modest local
 win below it."""
 
+LOCAL_WALK_MAX_STEP_ROWS = 4_000_000
+"""Adaptive local-kernel gate on emitted corpus cells (walkers x
+walk_length): below this AND the adjacency gate the whole corpus is
+generated in ONE Arrow task instead of L serial join barriers. The
+distributed loop's wall at small scale is ~L fixed stage barriers (the
+sf0.1 headline measured 10.2s for 16k walkers x L=10 — barrier-bound,
+not data-bound); the kernel replaces them with one hash-projection scan
+plus a single vectorized replay. Same adaptive pattern (and roughly the
+same state bound) as graph/pagerank.py LOCAL_PR_MAX_EDGES."""
+
+LOCAL_WALK_MAX_ADJ_ROWS = 8_000_000
+"""Second local-kernel gate: directed adjacency rows (2x canonical
+edges) that must fit one task alongside the walk state. 8M rows of
+(src, dst, rank) is ~200 MB as numpy int64/object arrays — comfortably
+one-task-sized on an executor with a few GB, and above it the per-step
+joins are data-bound anyway, which is the distributed loop's regime."""
+
+
+def _local_random_walks(
+    adj: DataFrame,
+    walkers: DataFrame,
+    weighted: bool,
+    walk_length: int,
+    ranked: bool = True,
+):
+    """Single-task corpus replay over the (small) adjacency table.
+
+    The step-t transition of the distributed loop is
+    ``pmod(xxhash64(walk_id, t, seed), degree(cur))`` — a pure function
+    of (walk_id, t, seed) modulo a table lookup. ``walkers`` therefore
+    arrives with the raw step hashes (and, weighted, the raw coin
+    hashes) ALREADY computed by the same Spark ``xxhash64`` expressions
+    the distributed loop evaluates, and the kernel replays the walk as
+    vectorized numpy gathers: the corpus is byte-identical to the
+    distributed strategies by construction (parity-pinned in
+    test_walks), with zero per-step stage barriers.
+
+    Input protocol (one unioned stream, ``walk_id`` null = adjacency
+    row): adjacency rows carry (src, dst, rank[, prob, alias_dst]);
+    walker rows carry (src=start, walk_id, hashes[, coins]). Walkers
+    whose start has no adjacency row are dropped — the same silent
+    inner-join-on-degree contract as the distributed frontier seed.
+    ``coalesce(1)`` narrowly merges the partitions; nothing shuffles.
+
+    ``hashes``/``coins`` ride as comma-joined STRINGS, not
+    ``array<long>``: the adjacency side must carry the same columns as
+    nulls through the union, and Spark's Arrow writer degrades to
+    per-row work on a null array column — measured 14-17s per column
+    per 1.17M adjacency rows, vs ~0.3s for a null string column (the
+    whole point of this kernel is shaving fixed overhead, so the
+    encoding is load-bearing, not cosmetic). The walker side pays one
+    vectorized ``str.split`` to decode — |walkers| rows only.
+
+    ``ranked=False`` accepts the raw SYMMETRIC edge table instead of a
+    ``ranked_adjacency`` result: the kernel then derives the rank order
+    itself from its id-sorted code space (``rank`` is by-construction
+    the position of ``dst`` in id order among ``src``'s neighbors —
+    numpy's string order and Spark's UTF8String order agree: both are
+    codepoint order, and UTF-8 byte order equals codepoint order).
+    That skips BOTH adjacency windows (two exchanges plus an in-task
+    1.17M-row sort at sf0.1) on the unweighted owned-adjacency path.
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    id_type = adj.schema["src"].dataType
+    id_t = id_type.simpleString()
+    out_schema = StructType([
+        StructField("walk_id", StringType()),
+        StructField("start", id_type),
+        StructField("seq", ArrayType(id_type)),
+    ])
+    a = adj.select(
+        "src",
+        "dst",
+        (
+            F.col("rank").cast("long") if ranked else F.lit(None).cast("long")
+        ).alias("rank"),
+        (F.col("prob") if weighted else F.lit(None).cast("double")).alias("prob"),
+        (
+            F.col("alias_dst") if weighted else F.lit(None).cast(id_t)
+        ).alias("alias_dst"),
+        F.lit(None).cast("string").alias("walk_id"),
+        F.lit(None).cast("string").alias("hashes"),
+        F.lit(None).cast("string").alias("coins"),
+    )
+    w = walkers.select(
+        F.col("start").alias("src"),
+        F.lit(None).cast(id_t).alias("dst"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("prob"),
+        F.lit(None).cast(id_t).alias("alias_dst"),
+        "walk_id",
+        "hashes",
+        "coins",
+    )
+    marked = a.unionByName(w)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        a_src, a_dst, a_rank, a_prob, a_alias = [], [], [], [], []
+        k_id, k_start, k_h, k_c = [], [], [], []
+        for pdf in batches:
+            isw = pdf["walk_id"].notna()
+            arows = pdf.loc[~isw]
+            if len(arows):
+                a_src.append(arows["src"].to_numpy())
+                a_dst.append(arows["dst"].to_numpy())
+                if ranked:
+                    a_rank.append(arows["rank"].to_numpy(dtype=np.int64))
+                if weighted:
+                    a_prob.append(arows["prob"].to_numpy(dtype=np.float64))
+                    a_alias.append(arows["alias_dst"].to_numpy())
+            wrows = pdf.loc[isw]
+            if len(wrows):
+                k_id.append(wrows["walk_id"].to_numpy())
+                k_start.append(wrows["src"].to_numpy())
+                if walk_length > 1:
+                    # vectorized CSV decode (see the docstring on why
+                    # these are strings, not array<long>)
+                    k_h.append(
+                        wrows["hashes"]
+                        .str.split(",", expand=True)
+                        .to_numpy(dtype=np.int64)
+                    )
+                    if weighted:
+                        k_c.append(
+                            wrows["coins"]
+                            .str.split(",", expand=True)
+                            .to_numpy(dtype=np.int64)
+                        )
+
+        def _empty():
+            return pd.DataFrame({"walk_id": [], "start": [], "seq": []})
+
+        if not k_id or not a_src:
+            yield _empty()
+            return
+        src = np.concatenate(a_src)
+        dst = np.concatenate(a_dst)
+        rank = np.concatenate(a_rank) if ranked else None
+        alias = np.concatenate(a_alias) if weighted else None
+        starts = np.concatenate(k_start)
+        parts = [src, dst] + ([alias] if weighted else []) + [starts]
+        keys = np.concatenate(parts)
+        # id-sorted dense codes (the pagerank-kernel indexing pattern);
+        # sorted order is load-bearing only for determinism of the ids
+        # array, not for rank semantics (rank rides explicitly)
+        if keys.dtype == object:
+            codes, uniques = pd.factorize(keys)
+            order_u = np.argsort(uniques)
+            pos = np.empty(len(order_u), dtype=np.int64)
+            pos[order_u] = np.arange(len(order_u))
+            inv = pos[codes]
+            ids = uniques[order_u]
+        else:
+            ids, inv = np.unique(keys, return_inverse=True)
+        n_e = len(src)
+        src_i = inv[:n_e]
+        dst_i = inv[n_e:2 * n_e]
+        off = 2 * n_e
+        if weighted:
+            alias_i = inv[off:off + n_e]
+            off += n_e
+        start_i = inv[off:]
+        n = len(ids)
+        deg = np.bincount(src_i, minlength=n)
+        # CSR layout: rows grouped by source code, rank order within.
+        # Without an explicit rank the id-sorted dst codes ARE the rank
+        # order (ranked_adjacency's window is orderBy(dst)).
+        order = np.lexsort((rank if ranked else dst_i, src_i))
+        dst_s = dst_i[order]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(deg, out=offsets[1:])
+        if weighted:
+            prob_s = np.concatenate(a_prob)[order]
+            alias_s = alias_i[order]
+        # distributed parity: the frontier seed inner-joins degrees, so
+        # starts absent from the adjacency silently walk nothing
+        ok = deg[start_i] > 0
+        wid = np.concatenate(k_id)[ok]
+        cur = start_i[ok].copy()
+        n_w = len(cur)
+        if n_w == 0:
+            yield _empty()
+            return
+        if walk_length > 1:
+            hmat = np.vstack(k_h)[ok]
+            cmat = np.vstack(k_c)[ok] if weighted else None
+        seq_c = np.empty((n_w, walk_length), dtype=np.int64)
+        seq_c[:, 0] = cur
+        denom = float(_COIN_DENOM)
+        for t in range(1, walk_length):
+            # pmod(hash, degree): numpy's % matches Spark pmod for a
+            # positive divisor (result sign follows the divisor)
+            r = hmat[:, t - 1] % deg[cur]
+            row = offsets[cur] + r
+            if weighted:
+                coin = (cmat[:, t - 1] % _COIN_DENOM).astype(
+                    np.float64
+                ) / denom
+                take = coin < prob_s[row]
+                nxt = np.where(take, dst_s[row], alias_s[row])
+            else:
+                nxt = dst_s[row]
+            seq_c[:, t] = nxt
+            cur = nxt
+        id_mat = ids[seq_c]
+        start_ids = ids[seq_c[:, 0]]
+        chunk = 65536
+        for i in range(0, n_w, chunk):
+            yield pd.DataFrame(
+                {
+                    "walk_id": wid[i:i + chunk],
+                    "start": start_ids[i:i + chunk],
+                    "seq": [r.tolist() for r in id_mat[i:i + chunk]],
+                }
+            )
+
+    return marked.coalesce(1).mapInPandas(kernel, out_schema)
+
 def ranked_adjacency(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     """DataFrame[src, dst, rank, dst_degree] — both orientations of the
     undirected graph with a dense 0-based neighbor rank per source and
@@ -215,9 +437,17 @@ def random_walks(
     constant-width join per step (rank pick + hash coin between the two
     stored outcomes), never a fan-out over the neighbor list.
 
-    ``strategy`` picks the per-step join's physical plan — results are
-    identical (the transition is a pure function of walk_id/step/seed):
+    ``strategy`` picks the corpus generation's physical plan — results
+    are identical on every strategy (the transition is a pure function
+    of walk_id/step/seed; parity is test-pinned):
 
+    - ``"local"``: ONE Arrow task replays every walk against the
+      in-memory adjacency; the step hashes are computed by the same
+      Spark ``xxhash64`` projection the joins would evaluate, so the
+      corpus is byte-identical with zero per-step stage barriers.
+      Right when walkers x length and the adjacency both fit one task
+      (the small-graph / seed-set regime where the distributed loop is
+      pure barrier overhead).
     - ``"broadcast"``: the frontier is broadcast; each step is ONE
       mapper-side stage over the cached adjacency — no shuffle at all.
       Right when |starts|·num_walks is executor-memory small (seed-set
@@ -226,9 +456,13 @@ def random_walks(
       frontier moves (the adjacency is cached pre-partitioned on the
       join key, so its exchange is reused every step). Right at corpus
       scale, where the frontier is W·|V| rows and can't be broadcast.
-    - ``None`` (default): auto — broadcast below
-      ``BROADCAST_FRONTIER_MAX_ROWS`` frontier rows (probed with one
-      count of the start set).
+    - ``None`` (default): auto — local below
+      ``LOCAL_WALK_MAX_STEP_ROWS`` corpus cells and
+      ``LOCAL_WALK_MAX_ADJ_ROWS`` directed adjacency rows (probed with
+      one count of the start set and one of the canonical edges — the
+      edge probe doubles as the cache materialization); else broadcast
+      below ``BROADCAST_FRONTIER_MAX_ROWS`` frontier rows; else
+      shuffle.
 
     ``adjacency``: a prebuilt ``ranked_adjacency`` (or, with
     ``weighted=True``, ``alias_tables``) result for THESE edges. The
@@ -253,8 +487,10 @@ def random_walks(
         raise ValueError("walk_length must be >= 1")
     if num_walks < 1:
         raise ValueError("num_walks must be >= 1")
-    if strategy not in (None, "broadcast", "shuffle"):
-        raise ValueError("strategy must be None, 'broadcast' or 'shuffle'")
+    if strategy not in (None, "local", "broadcast", "shuffle"):
+        raise ValueError(
+            "strategy must be None, 'local', 'broadcast' or 'shuffle'"
+        )
 
     if assume_canonical:
         canon = edges
@@ -268,8 +504,32 @@ def random_walks(
     canon_owned = not canon.storageLevel.useMemory
     if canon_owned:
         canon = canon.persist()
+    # symmetrized out-degree == undirected degree; only joined ONCE, to
+    # seed the initial frontier — every later step reads the next hop's
+    # degree off the adjacency row it just fetched
+    deg = degrees(canon)
+    verts = (
+        starts.select(F.col("id"))
+        if starts is not None
+        else deg.select("id")
+    )
+    if strategy is None:
+        # one |V|-scale (or |starts|-scale) count decides the physical
+        # shape; the same probe-doubles-as-materialization pattern as
+        # graph/triangles.py. The edge count probe (local gate only)
+        # fills the canonical cache every later consumer reads.
+        fr_rows = verts.count() * num_walks
+        if (
+            fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
+            and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
+        ):
+            strategy = "local"
+        elif fr_rows <= BROADCAST_FRONTIER_MAX_ROWS:
+            strategy = "broadcast"
+        else:
+            strategy = "shuffle"
     adj_owned = adjacency is None
-    if adj_owned:
+    if adj_owned and strategy != "local":
         adj = (
             alias_tables(canon, assume_canonical=True)
             if weighted
@@ -283,34 +543,74 @@ def random_walks(
         # pre-partitioned AND pre-sorted on the per-step join key —
         # a partitioned-but-unsorted cache makes every superstep's
         # sort-merge join re-sort the full 2|E|-row adjacency (the
-        # graph/hits.py measurement: layout cost dominates the loop)
+        # graph/hits.py measurement: layout cost dominates the loop).
+        # The local kernel consumes the adjacency exactly ONCE in one
+        # task — no layout, no cache.
         adj = (
             adj.repartition("src", "rank")
             .sortWithinPartitions("src", "rank")
             .persist()
         )
-    else:
+    elif not adj_owned:
         adj = adjacency
-    # symmetrized out-degree == undirected degree; only joined ONCE, to
-    # seed the initial frontier — every later step reads the next hop's
-    # degree off the adjacency row it just fetched
-    deg = degrees(canon)
+
+    if strategy == "local":
+        try:
+            if not adj_owned:
+                kern_adj, ranked = adjacency, True
+            elif weighted:
+                kern_adj, ranked = (
+                    alias_tables(canon, assume_canonical=True),
+                    True,
+                )
+            else:
+                # the kernel derives ranks from its id-sorted code
+                # space — no adjacency windows at all on this path
+                kern_adj, ranked = (
+                    symmetrize(canon.select("src", "dst"), weight=False),
+                    False,
+                )
+            hash_cols = [
+                F.xxhash64(F.col("walk_id"), F.lit(t), F.lit(seed))
+                for t in range(1, walk_length)
+            ]
+            coin_cols = [
+                F.xxhash64(
+                    F.col("walk_id"), F.lit(t), F.lit(seed), F.lit("coin")
+                )
+                for t in range(1, walk_length)
+            ]
+            walkers = verts.select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(num_walks - 1))
+                ).alias("walk_idx"),
+            ).select(
+                F.concat_ws(
+                    "#", F.col("id").cast("string"), F.col("walk_idx")
+                ).alias("walk_id"),
+                F.col("id").alias("start"),
+                (
+                    F.concat_ws(",", *[h.cast("string") for h in hash_cols])
+                    if hash_cols
+                    else F.lit(None).cast("string")
+                ).alias("hashes"),
+                (
+                    F.concat_ws(",", *[c.cast("string") for c in coin_cols])
+                    if weighted and coin_cols
+                    else F.lit(None).cast("string")
+                ).alias("coins"),
+            )
+            out = _local_random_walks(
+                kern_adj, walkers, weighted, walk_length, ranked=ranked
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            if canon_owned:
+                canon.unpersist()
+
     pinned: list[DataFrame] = []
     try:
-        verts = (
-            starts.select(F.col("id"))
-            if starts is not None
-            else deg.select("id")
-        )
-        if strategy is None:
-            # one |V|-scale (or |starts|-scale) count decides the join
-            # shape; the same probe-doubles-as-materialization pattern
-            # as graph/triangles.py
-            strategy = (
-                "broadcast"
-                if verts.count() * num_walks <= BROADCAST_FRONTIER_MAX_ROWS
-                else "shuffle"
-            )
         frontier = (
             verts.select(
                 "id",

@@ -324,6 +324,44 @@ def test_n2v_validation(spark):
         node2vec_walks(edges, max_attempts=0)
 
 
+def test_local_kernel_parity_all_strategies(spark):
+    """The single-task local kernel replays the walks byte-identically
+    to both distributed strategies (the hash coins are the same Spark
+    xxhash64 projections), unweighted AND weighted, including
+    restricted start sets and starts absent from the graph."""
+    import pyspark.sql.functions as F
+
+    edges = datagen.edges_df(spark, PAIRS)
+
+    def corp(e, **kw):
+        return {
+            r["walk_id"]: (r["start"], tuple(r["seq"]))
+            for r in random_walks(e, num_walks=2, walk_length=6, seed=5,
+                                  **kw).collect()
+        }
+
+    a = corp(edges, strategy="local")
+    assert a == corp(edges, strategy="broadcast")
+    assert a == corp(edges, strategy="shuffle")
+    assert a == corp(edges)  # auto selects local at this size
+
+    wedges = edges.withColumn(
+        "weight", (F.xxhash64("src", "dst") % 5 + 6).cast("double")
+    )
+    aw = corp(wedges, weighted=True, strategy="local")
+    assert aw == corp(wedges, weighted=True, strategy="shuffle")
+
+    # restricted starts, including an id the graph does not contain:
+    # dropped silently on every strategy (the inner-degree-join seed
+    # contract)
+    starts = edges.sparkSession.createDataFrame(
+        [(0,), (5,), (999,)], "id long"
+    )
+    sl = corp(edges, starts=starts, strategy="local")
+    assert sl == corp(edges, starts=starts, strategy="shuffle")
+    assert {s for s, _ in sl.values()} == {0, 5}
+
+
 def test_adjacency_reuse_identical_corpus(spark):
     """A caller-prebuilt (persisted, pre-partitioned) adjacency yields
     byte-identical corpora for both walk flavors — the one-time build
