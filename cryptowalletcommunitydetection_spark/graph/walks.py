@@ -81,15 +81,24 @@ generated in ONE Arrow task instead of L serial join barriers. The
 distributed loop's wall at small scale is ~L fixed stage barriers (the
 sf0.1 headline measured 10.2s for 16k walkers x L=10 — barrier-bound,
 not data-bound); the kernel replaces them with one hash-projection scan
-plus a single vectorized replay. Same adaptive pattern (and roughly the
-same state bound) as graph/pagerank.py LOCAL_PR_MAX_EDGES."""
+plus a single vectorized replay. MEASURED crossover
+(bench_scripts/walks_crossover.py, fresh JVM per level, min of 2,
+full-corpus L=10 on uniform random string-keyed graphs): 1M cells
+local 3.7s vs best-distributed 9.8s; 4M cells 14.5 vs 28.0; 8M cells
+46.6 vs 25.2; 16M cells 58.1 vs 19.4 — gate at the last winning
+level. Same adaptive pattern as graph/pagerank.py
+LOCAL_PR_MAX_EDGES."""
 
 LOCAL_WALK_MAX_ADJ_ROWS = 8_000_000
 """Second local-kernel gate: directed adjacency rows (2x canonical
-edges) that must fit one task alongside the walk state. 8M rows of
-(src, dst, rank) is ~200 MB as numpy int64/object arrays — comfortably
-one-task-sized on an executor with a few GB, and above it the per-step
-joins are data-bound anyway, which is the distributed loop's regime."""
+edges) that must fit one task alongside the walk state — it binds on
+SEED-SET corpora (few walkers, big graph), where the cells gate alone
+would send an arbitrarily large adjacency through the single task.
+8M rows of (src, dst, rank) is ~200 MB as numpy int64/object arrays
+and ~8-10s of single-task Arrow conversion at the measured
+~1.2s/M-rows rate — comparable to the distributed path's one-time
+adjacency build+layout, so above this bound the broadcast strategy's
+cached-adjacency scan wins."""
 
 
 def _local_random_walks(
