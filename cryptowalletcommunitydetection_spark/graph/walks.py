@@ -106,6 +106,7 @@ def _local_random_walks(
     walkers: DataFrame,
     weighted: bool,
     walk_length: int,
+    seed: int,
     ranked: bool = True,
 ):
     """Single-task corpus replay over the (small) adjacency table.
@@ -122,19 +123,23 @@ def _local_random_walks(
 
     Input protocol (one unioned stream, ``walk_id`` null = adjacency
     row): adjacency rows carry (src, dst, rank[, prob, alias_dst]);
-    walker rows carry (src=start, walk_id, hashes[, coins]). Walkers
-    whose start has no adjacency row are dropped — the same silent
+    walker rows carry (src=start, walk_id, base). Walkers whose start
+    has no adjacency row are dropped — the same silent
     inner-join-on-degree contract as the distributed frontier seed.
     ``coalesce(1)`` narrowly merges the partitions; nothing shuffles.
 
-    ``hashes``/``coins`` ride as comma-joined STRINGS, not
-    ``array<long>``: the adjacency side must carry the same columns as
-    nulls through the union, and Spark's Arrow writer degrades to
-    per-row work on a null array column — measured 14-17s per column
-    per 1.17M adjacency rows, vs ~0.3s for a null string column (the
-    whole point of this kernel is shaving fixed overhead, so the
-    encoding is load-bearing, not cosmetic). The walker side pays one
-    vectorized ``str.split`` to decode — |walkers| rows only.
+    ``base = xxhash64(walk_id)`` is the ONLY hash shipped per walker;
+    the per-step hashes/coins are re-derived in-kernel through the
+    Spark-bit-exact chain in functions/xxh64.py (``xxhash64(walk_id,
+    t, seed[, 'coin'])`` folds left with the running hash as the next
+    seed — pinned by tests/test_xxh64.py). It rides as a DECIMAL
+    STRING, not a long: the adjacency side carries the column as null
+    through the union, and (a) a nullable long reaches pandas as
+    float64, which corrupts 64-bit hash values (observed: every walk
+    diverging), (b) Spark's Arrow writer degrades to per-row work on
+    null ARRAY columns (measured 14-17s per column per 1.17M adjacency
+    rows) while a null string column costs ~0.3s — so the scalar
+    string is both the correct and the cheap encoding.
 
     ``ranked=False`` accepts the raw SYMMETRIC edge table instead of a
     ``ranked_adjacency`` result: the kernel then derives the rank order
@@ -165,8 +170,7 @@ def _local_random_walks(
             F.col("alias_dst") if weighted else F.lit(None).cast(id_t)
         ).alias("alias_dst"),
         F.lit(None).cast("string").alias("walk_id"),
-        F.lit(None).cast("string").alias("hashes"),
-        F.lit(None).cast("string").alias("coins"),
+        F.lit(None).cast("string").alias("base"),
     )
     w = walkers.select(
         F.col("start").alias("src"),
@@ -175,8 +179,7 @@ def _local_random_walks(
         F.lit(None).cast("double").alias("prob"),
         F.lit(None).cast(id_t).alias("alias_dst"),
         "walk_id",
-        "hashes",
-        "coins",
+        F.col("base").cast("string").alias("base"),
     )
     marked = a.unionByName(w)
 
@@ -184,8 +187,14 @@ def _local_random_walks(
         import numpy as np
         import pandas as pd
 
+        from cryptowalletcommunitydetection_spark.functions.xxh64 import (
+            hash_bytes_const,
+            hash_int,
+            pmod_u64,
+        )
+
         a_src, a_dst, a_rank, a_prob, a_alias = [], [], [], [], []
-        k_id, k_start, k_h, k_c = [], [], [], []
+        k_id, k_start, k_base = [], [], []
         for pdf in batches:
             isw = pdf["walk_id"].notna()
             arows = pdf.loc[~isw]
@@ -201,20 +210,7 @@ def _local_random_walks(
             if len(wrows):
                 k_id.append(wrows["walk_id"].to_numpy())
                 k_start.append(wrows["src"].to_numpy())
-                if walk_length > 1:
-                    # vectorized CSV decode (see the docstring on why
-                    # these are strings, not array<long>)
-                    k_h.append(
-                        wrows["hashes"]
-                        .str.split(",", expand=True)
-                        .to_numpy(dtype=np.int64)
-                    )
-                    if weighted:
-                        k_c.append(
-                            wrows["coins"]
-                            .str.split(",", expand=True)
-                            .to_numpy(dtype=np.int64)
-                        )
+                k_base.append(wrows["base"].astype(np.int64).to_numpy())
 
         def _empty():
             return pd.DataFrame({"walk_id": [], "start": [], "seq": []})
@@ -265,26 +261,27 @@ def _local_random_walks(
         # starts absent from the adjacency silently walk nothing
         ok = deg[start_i] > 0
         wid = np.concatenate(k_id)[ok]
+        base = np.concatenate(k_base)[ok].view(np.uint64)
         cur = start_i[ok].copy()
         n_w = len(cur)
         if n_w == 0:
             yield _empty()
             return
-        if walk_length > 1:
-            hmat = np.vstack(k_h)[ok]
-            cmat = np.vstack(k_c)[ok] if weighted else None
         seq_c = np.empty((n_w, walk_length), dtype=np.int64)
         seq_c[:, 0] = cur
         denom = float(_COIN_DENOM)
         for t in range(1, walk_length):
-            # pmod(hash, degree): numpy's % matches Spark pmod for a
-            # positive divisor (result sign follows the divisor)
-            r = hmat[:, t - 1] % deg[cur]
+            # xxhash64(walk_id, t, seed) re-derived from the shipped
+            # base through the Spark-bit-exact chain; pmod via numpy %
+            # (sign follows the positive divisor, matching Spark pmod)
+            h_t = hash_int(seed, hash_int(t, base))
+            r = pmod_u64(h_t, deg[cur])
             row = offsets[cur] + r
             if weighted:
-                coin = (cmat[:, t - 1] % _COIN_DENOM).astype(
-                    np.float64
-                ) / denom
+                # xxhash64(walk_id, t, seed, 'coin')
+                coin = pmod_u64(
+                    hash_bytes_const(b"coin", h_t), _COIN_DENOM
+                ).astype(np.float64) / denom
                 take = coin < prob_s[row]
                 nxt = np.where(take, dst_s[row], alias_s[row])
             else:
@@ -304,6 +301,243 @@ def _local_random_walks(
             )
 
     return marked.coalesce(1).mapInPandas(kernel, out_schema)
+
+
+def _local_node2vec_walks(
+    adj: DataFrame,
+    walkers: DataFrame,
+    weighted: bool,
+    walk_length: int,
+    seed: int,
+    w_ret: float,
+    w_stay: float,
+    w_far: float,
+    max_attempts: int,
+    ranked: bool = True,
+):
+    """Single-task replay of the node2vec rejection-sampling rounds.
+
+    Same protocol as ``_local_random_walks`` (one unioned stream,
+    ``walk_id`` null = adjacency row), but walkers carry ONE long —
+    ``base = xxhash64(walk_id)`` — instead of shipped hash arrays:
+    the A-attempt x 3-channel x L-step hash tensor is re-derived
+    in-kernel through the Spark-bit-exact chain in functions/xxh64.py
+    (``xxhash64(walk_id, t, att, seed[, ch])`` folds left with the
+    running hash as the next seed, so the string prefix is computed
+    once by Spark and the integer/constant-string suffixes vectorize
+    in numpy; pinned by tests/test_xxh64.py). The membership test (is
+    x a neighbor of prev) is a vectorized binary search per walker in
+    the CSR block of ``prev`` — within-block order is dst-id order on
+    BOTH adjacency flavors (``ranked=False`` raw symmetric edges get
+    code-sorted here; alias tables rank dst-sorted at build), which
+    equals dst-code order because codes are id-sorted.
+
+    Semantics replayed exactly (parity-pinned in test_walks): step 1 is
+    one uniform (weighted: alias-drawn) proposal; steps >= 2 accept the
+    FIRST attempt whose 'accept' coin clears w/max_w, falling back to
+    attempt 0's proposal when all reject; weighted proposals draw
+    through the alias coin ('alias' channel) before acceptance.
+
+    ``base`` rides as a DECIMAL STRING, not a long: the adjacency side
+    carries it as null through the union, and a nullable long column
+    reaches pandas as float64 — which cannot represent 64-bit hash
+    values exactly (observed: silently corrupted low bits, every walk
+    diverging). A null string column is also the cheap Arrow case (the
+    _local_random_walks measurement).
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    id_type = adj.schema["src"].dataType
+    id_t = id_type.simpleString()
+    out_schema = StructType([
+        StructField("walk_id", StringType()),
+        StructField("start", id_type),
+        StructField("seq", ArrayType(id_type)),
+    ])
+    a = adj.select(
+        "src",
+        "dst",
+        (
+            F.col("rank").cast("long") if ranked else F.lit(None).cast("long")
+        ).alias("rank"),
+        (F.col("prob") if weighted else F.lit(None).cast("double")).alias("prob"),
+        (
+            F.col("alias_dst") if weighted else F.lit(None).cast(id_t)
+        ).alias("alias_dst"),
+        F.lit(None).cast("string").alias("walk_id"),
+        F.lit(None).cast("string").alias("base"),
+    )
+    w = walkers.select(
+        F.col("start").alias("src"),
+        F.lit(None).cast(id_t).alias("dst"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("prob"),
+        F.lit(None).cast(id_t).alias("alias_dst"),
+        "walk_id",
+        F.col("base").cast("string").alias("base"),
+    )
+    marked = a.unionByName(w)
+    w_max_k = max(w_ret, w_stay, w_far)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from cryptowalletcommunitydetection_spark.functions.xxh64 import (
+            hash_bytes_const,
+            hash_int,
+            pmod_u64,
+        )
+
+        a_src, a_dst, a_rank, a_prob, a_alias = [], [], [], [], []
+        k_id, k_start, k_base = [], [], []
+        for pdf in batches:
+            isw = pdf["walk_id"].notna()
+            arows = pdf.loc[~isw]
+            if len(arows):
+                a_src.append(arows["src"].to_numpy())
+                a_dst.append(arows["dst"].to_numpy())
+                if ranked:
+                    a_rank.append(arows["rank"].to_numpy(dtype=np.int64))
+                if weighted:
+                    a_prob.append(arows["prob"].to_numpy(dtype=np.float64))
+                    a_alias.append(arows["alias_dst"].to_numpy())
+            wrows = pdf.loc[isw]
+            if len(wrows):
+                k_id.append(wrows["walk_id"].to_numpy())
+                k_start.append(wrows["src"].to_numpy())
+                # decimal-string decode (see docstring: a nullable long
+                # would arrive as float64 and corrupt the hash bits)
+                k_base.append(wrows["base"].astype(np.int64).to_numpy())
+
+        def _empty():
+            return pd.DataFrame({"walk_id": [], "start": [], "seq": []})
+
+        if not k_id or not a_src:
+            yield _empty()
+            return
+        src = np.concatenate(a_src)
+        dst = np.concatenate(a_dst)
+        rank = np.concatenate(a_rank) if ranked else None
+        alias = np.concatenate(a_alias) if weighted else None
+        starts = np.concatenate(k_start)
+        parts = [src, dst] + ([alias] if weighted else []) + [starts]
+        keys = np.concatenate(parts)
+        if keys.dtype == object:
+            codes, uniques = pd.factorize(keys)
+            order_u = np.argsort(uniques)
+            pos = np.empty(len(order_u), dtype=np.int64)
+            pos[order_u] = np.arange(len(order_u))
+            inv = pos[codes]
+            ids = uniques[order_u]
+        else:
+            ids, inv = np.unique(keys, return_inverse=True)
+        n_e = len(src)
+        src_i = inv[:n_e]
+        dst_i = inv[n_e:2 * n_e]
+        off = 2 * n_e
+        if weighted:
+            alias_i = inv[off:off + n_e]
+            off += n_e
+        start_i = inv[off:]
+        n = len(ids)
+        deg = np.bincount(src_i, minlength=n)
+        order = np.lexsort((rank if ranked else dst_i, src_i))
+        dst_s = dst_i[order]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(deg, out=offsets[1:])
+        if weighted:
+            prob_s = np.concatenate(a_prob)[order]
+            alias_s = alias_i[order]
+        ok = deg[start_i] > 0
+        wid = np.concatenate(k_id)[ok]
+        base = np.concatenate(k_base)[ok].view(np.uint64)
+        cur = start_i[ok].copy()
+        n_w = len(cur)
+        if n_w == 0:
+            yield _empty()
+            return
+
+        denom = float(_COIN_DENOM)
+
+        def frac(h):
+            return pmod_u64(h, _COIN_DENOM).astype(np.float64) / denom
+
+        def member(prev, x):
+            # vectorized per-walker binary search of x in prev's CSR
+            # block (dst-id order within block, see docstring)
+            lo = offsets[prev].copy()
+            hi = offsets[prev + 1].copy()
+            found = np.zeros(len(prev), dtype=bool)
+            active = lo < hi
+            while active.any():
+                mid = (lo + hi) >> 1
+                v = dst_s[np.where(active, mid, 0)]
+                eq = active & (v == x)
+                found |= eq
+                less = v < x
+                lo = np.where(active & less & ~eq, mid + 1, lo)
+                hi = np.where(active & ~less & ~eq, mid, hi)
+                hi = np.where(eq, lo, hi)  # retire found lanes
+                active = lo < hi
+            return found
+
+        def propose(h_sd, cur):
+            # one attempt's proposal from the chained hash state
+            r = pmod_u64(h_sd, deg[cur])
+            row = offsets[cur] + r
+            if weighted:
+                c_w = frac(hash_bytes_const(b"alias", h_sd))
+                take = c_w < prob_s[row]
+                return np.where(take, dst_s[row], alias_s[row])
+            return dst_s[row]
+
+        seq_c = np.empty((n_w, walk_length), dtype=np.int64)
+        seq_c[:, 0] = cur
+        prev = cur
+        for t in range(1, walk_length):
+            h_t = hash_int(t, base)
+            if t == 1:
+                # the standard uniform first transition (no real prev)
+                nxt = propose(hash_int(seed, hash_int(0, h_t)), cur)
+            else:
+                accepted = np.zeros(n_w, dtype=bool)
+                chosen = np.zeros(n_w, dtype=np.int64)
+                fallback = None
+                for att in range(max_attempts):
+                    h_sd = hash_int(seed, hash_int(att, h_t))
+                    x = propose(h_sd, cur)
+                    if att == 0:
+                        fallback = x
+                    wgt = np.where(
+                        x == prev,
+                        w_ret,
+                        np.where(member(prev, x), w_stay, w_far),
+                    )
+                    acc = frac(hash_bytes_const(b"accept", h_sd)) < (
+                        wgt / w_max_k
+                    )
+                    newly = acc & ~accepted
+                    chosen = np.where(newly, x, chosen)
+                    accepted |= acc
+                nxt = np.where(accepted, chosen, fallback)
+            seq_c[:, t] = nxt
+            prev = cur
+            cur = nxt
+        id_mat = ids[seq_c]
+        start_ids = ids[seq_c[:, 0]]
+        chunk = 65536
+        for i in range(0, n_w, chunk):
+            yield pd.DataFrame(
+                {
+                    "walk_id": wid[i:i + chunk],
+                    "start": start_ids[i:i + chunk],
+                    "seq": [r.tolist() for r in id_mat[i:i + chunk]],
+                }
+            )
+
+    return marked.coalesce(1).mapInPandas(kernel, out_schema)
+
 
 def ranked_adjacency(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     """DataFrame[src, dst, rank, dst_degree] — both orientations of the
@@ -579,16 +813,6 @@ def random_walks(
                     symmetrize(canon.select("src", "dst"), weight=False),
                     False,
                 )
-            hash_cols = [
-                F.xxhash64(F.col("walk_id"), F.lit(t), F.lit(seed))
-                for t in range(1, walk_length)
-            ]
-            coin_cols = [
-                F.xxhash64(
-                    F.col("walk_id"), F.lit(t), F.lit(seed), F.lit("coin")
-                )
-                for t in range(1, walk_length)
-            ]
             walkers = verts.select(
                 "id",
                 F.explode(
@@ -599,19 +823,16 @@ def random_walks(
                     "#", F.col("id").cast("string"), F.col("walk_idx")
                 ).alias("walk_id"),
                 F.col("id").alias("start"),
-                (
-                    F.concat_ws(",", *[h.cast("string") for h in hash_cols])
-                    if hash_cols
-                    else F.lit(None).cast("string")
-                ).alias("hashes"),
-                (
-                    F.concat_ws(",", *[c.cast("string") for c in coin_cols])
-                    if weighted and coin_cols
-                    else F.lit(None).cast("string")
-                ).alias("coins"),
+            ).select(
+                "walk_id",
+                "start",
+                # ONE hash per walker; the kernel re-derives every
+                # per-step hash/coin from it (functions/xxh64.py chain)
+                F.xxhash64("walk_id").alias("base"),
             )
             out = _local_random_walks(
-                kern_adj, walkers, weighted, walk_length, ranked=ranked
+                kern_adj, walkers, weighted, walk_length, seed,
+                ranked=ranked,
             )
             return out.localCheckpoint(eager=True)
         finally:
@@ -802,8 +1023,10 @@ def node2vec_walks(
         raise ValueError("num_walks must be >= 1")
     if p <= 0 or q <= 0:
         raise ValueError("p and q must be > 0")
-    if strategy not in (None, "broadcast", "shuffle"):
-        raise ValueError("strategy must be None, 'broadcast' or 'shuffle'")
+    if strategy not in (None, "local", "broadcast", "shuffle"):
+        raise ValueError(
+            "strategy must be None, 'local', 'broadcast' or 'shuffle'"
+        )
 
     import math
 
@@ -829,8 +1052,27 @@ def node2vec_walks(
     canon_owned = not canon.storageLevel.useMemory  # see random_walks
     if canon_owned:
         canon = canon.persist()
+    deg = degrees(canon)
+    verts = (
+        starts.select(F.col("id"))
+        if starts is not None
+        else deg.select("id")
+    )
+    if strategy is None:
+        # the local gate divides by max_attempts: kernel work per
+        # corpus cell is A proposal/membership/coin rounds
+        fr_rows = verts.count() * num_walks
+        if (
+            fr_rows * walk_length * max_attempts <= LOCAL_WALK_MAX_STEP_ROWS
+            and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
+        ):
+            strategy = "local"
+        elif fr_rows * max_attempts <= BROADCAST_FRONTIER_MAX_ROWS:
+            strategy = "broadcast"
+        else:
+            strategy = "shuffle"
     adj_owned = adjacency is None
-    if adj_owned:
+    if adj_owned and strategy != "local":
         adj = (
             alias_tables(canon, assume_canonical=True)
             if weighted
@@ -845,8 +1087,50 @@ def node2vec_walks(
             .sortWithinPartitions("src", "rank")
             .persist()
         )
-    else:
+    elif not adj_owned:
         adj = adjacency
+
+    if strategy == "local":
+        try:
+            if not adj_owned:
+                kern_adj, ranked = adjacency, True
+            elif weighted:
+                kern_adj, ranked = (
+                    alias_tables(canon, assume_canonical=True),
+                    True,
+                )
+            else:
+                kern_adj, ranked = (
+                    symmetrize(canon.select("src", "dst"), weight=False),
+                    False,
+                )
+            walkers = verts.select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(num_walks - 1))
+                ).alias("walk_idx"),
+            ).select(
+                F.concat_ws(
+                    "#", F.col("id").cast("string"), F.col("walk_idx")
+                ).alias("walk_id"),
+                F.col("id").alias("start"),
+            ).select(
+                "walk_id",
+                "start",
+                # ONE long per walker; the kernel re-derives the full
+                # per-(t, att, channel) hash tensor from it through the
+                # Spark-bit-exact chain (functions/xxh64.py)
+                F.xxhash64("walk_id").alias("base"),
+            )
+            out = _local_node2vec_walks(
+                kern_adj, walkers, weighted, walk_length, seed,
+                w_ret, w_stay, w_far, max_attempts, ranked=ranked,
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            if canon_owned:
+                canon.unpersist()
+
     # membership side of step (2): the symmetric edge PAIR set, cached
     # pre-partitioned on its join key so the per-step membership join
     # never re-exchanges it
@@ -857,21 +1141,8 @@ def node2vec_walks(
         .sortWithinPartitions("m_src", "m_dst")
         .persist()
     )
-    deg = degrees(canon)
     pinned: list[DataFrame] = []
     try:
-        verts = (
-            starts.select(F.col("id"))
-            if starts is not None
-            else deg.select("id")
-        )
-        if strategy is None:
-            strategy = (
-                "broadcast"
-                if verts.count() * num_walks * max_attempts
-                <= BROADCAST_FRONTIER_MAX_ROWS
-                else "shuffle"
-            )
         frontier = (
             verts.select(
                 "id",

@@ -362,6 +362,35 @@ def test_local_kernel_parity_all_strategies(spark):
     assert {s for s, _ in sl.values()} == {0, 5}
 
 
+def test_n2v_local_kernel_parity(spark):
+    """The node2vec replay kernel (in-kernel Spark-bit-exact xxhash64
+    chaining, functions/xxh64.py) reproduces the distributed
+    rejection-sampling corpus byte-identically across (p, q) regimes,
+    weighted included."""
+    import pyspark.sql.functions as F
+
+    edges = datagen.edges_df(spark, PAIRS)
+
+    def corp(e, **kw):
+        return {
+            r["walk_id"]: (r["start"], tuple(r["seq"]))
+            for r in node2vec_walks(
+                e, num_walks=2, walk_length=6, seed=5, **kw
+            ).collect()
+        }
+
+    for p, q in ((0.5, 2.0), (2.0, 0.5), (1.0, 1.0)):
+        assert corp(edges, p=p, q=q, strategy="local") == corp(
+            edges, p=p, q=q, strategy="shuffle"
+        )
+    wedges = edges.withColumn(
+        "weight", (F.xxhash64("src", "dst") % 5 + 6).cast("double")
+    )
+    assert corp(wedges, p=0.5, q=2.0, weighted=True, strategy="local") == corp(
+        wedges, p=0.5, q=2.0, weighted=True, strategy="shuffle"
+    )
+
+
 def test_adjacency_reuse_identical_corpus(spark):
     """A caller-prebuilt (persisted, pre-partitioned) adjacency yields
     byte-identical corpora for both walk flavors — the one-time build
