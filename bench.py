@@ -213,6 +213,20 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             edges, num_walks=1, walk_length=10, seed=42, assume_canonical=True
         ).count(),
     )
+    # node2vec biased corpus: reported as its own section (like
+    # hyperball/files_pipeline) so the headline total stays comparable
+    # across rounds; p<1 is the return-biased (structural) regime, and
+    # at sf0.1 the auto strategy is the single-task replay kernel with
+    # the in-kernel Spark-bit-exact hash chain
+    from cryptowalletcommunitydetection_spark.graph.walks import node2vec_walks
+
+    s0, t0 = _steal(), time.monotonic()
+    n2v_rows = node2vec_walks(
+        edges, p=0.5, q=2.0, num_walks=1, walk_length=10, seed=42,
+        assume_canonical=True,
+    ).count()
+    n2v_wall = time.monotonic() - t0
+    n2v_steal = _steal() - s0
 
     # north-rule input path at scale: files table generated distributively,
     # edges derived through the real mapInPandas extraction + co-occurrence
@@ -318,6 +332,15 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             "edges_per_sec_per_superstep": round(
                 (2 * n_edges * hb.supersteps) / max(hb_wall, 1e-9), 1
             ),
+        },
+        "node2vec": {
+            "n_edges_canonical": n_edges,
+            "corpus_rows": n2v_rows,
+            "wall_sec": round(n2v_wall, 3),
+            "steal_jiffies": n2v_steal,
+            "p": 0.5,
+            "q": 2.0,
+            "walk_length": 10,
         },
         "files_pipeline": {
             "n_files": n_files,

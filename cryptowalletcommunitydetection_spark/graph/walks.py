@@ -1059,11 +1059,17 @@ def node2vec_walks(
         else deg.select("id")
     )
     if strategy is None:
-        # the local gate divides by max_attempts: kernel work per
-        # corpus cell is A proposal/membership/coin rounds
+        # same cells gate as random_walks, NOT multiplied by
+        # max_attempts: the kernel's per-attempt cost is a few vector
+        # ops while the distributed rounds pay per-attempt ROW fan-out
+        # through three joins, so A cancels out of the crossover.
+        # MEASURED at A=32, p=0.5/q=2.0, local[32]: sf0.1 (160k cells)
+        # local 3.9s vs broadcast 18.2s; 4M cells (1.2M-edge uniform
+        # graph) local 35.1s vs shuffle 60.9s — local still 1.7x ahead
+        # at the deepwalk gate boundary.
         fr_rows = verts.count() * num_walks
         if (
-            fr_rows * walk_length * max_attempts <= LOCAL_WALK_MAX_STEP_ROWS
+            fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
             and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
         ):
             strategy = "local"
