@@ -122,6 +122,18 @@ def hash_bytes_const(bs: bytes, seed) -> np.ndarray:
         return _fmix(h)
 
 
+def hash_py_int(i: int, seed) -> np.ndarray:
+    """The chain step Spark's ``F.lit(i)`` contributes for a Python
+    int: a literal within int32 range becomes IntegerType (4-byte
+    branch), anything larger LongType (8-byte branch). Kernels that
+    re-derive ``xxhash64(..., lit(seed), ...)`` chains must mirror
+    that typing or diverge for seeds outside int32 (pinned by
+    tests/test_xxh64.py)."""
+    if -(2 ** 31) <= i < 2 ** 31:
+        return hash_int(i, seed)
+    return hash_long(i, seed)
+
+
 def to_spark_long(h: np.ndarray) -> np.ndarray:
     """uint64 hash state -> the signed int64 Spark exposes."""
     return h.view(np.int64)

@@ -101,6 +101,185 @@ adjacency build+layout, so above this bound the broadcast strategy's
 cached-adjacency scan wins."""
 
 
+def _walk_marked_stream(adj, walkers, weighted, ranked):
+    """Pack adjacency + walker rows into ONE unioned stream for a
+    single-task replay kernel (``walk_id`` null = adjacency row).
+
+    Column encodings are all Arrow-hazard-driven (shared by both
+    kernels; measured in BENCH/BASELINE.md):
+
+    - ``base`` (the per-walker ``xxhash64(walk_id)``) rides as a
+      DECIMAL STRING: a nullable long column reaches pandas as float64
+      through the union, which silently corrupts 64-bit hash values;
+      a null ARRAY column would cost 14-17s per 1.17M adjacency rows
+      in Spark's Arrow writer, while a null string costs ~0.3s.
+    - For INTEGRAL vertex ids, ``dst``/``alias_dst`` also ride as
+      strings: they are null on walker rows, so a mixed batch would
+      float64-corrupt any id >= 2^53 (e.g. 64-bit hash-keyed
+      vertices). ``src`` is non-null on BOTH row kinds and keeps its
+      native type. String ids need no re-encoding (object dtype).
+    - ``rank`` stays a nullable long: ranks are bounded by the max
+      degree < 2^53, so the float64 round-trip is exact.
+
+    Returns (marked, out_schema, int_ids).
+    """
+    from pyspark.sql.types import (
+        ArrayType, ByteType, IntegerType, LongType, ShortType,
+        StringType, StructField, StructType,
+    )
+
+    id_type = adj.schema["src"].dataType
+    id_t = id_type.simpleString()
+    int_ids = isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType)
+    )
+    ship_t = "string" if int_ids else id_t
+    out_schema = StructType([
+        StructField("walk_id", StringType()),
+        StructField("start", id_type),
+        StructField("seq", ArrayType(id_type)),
+    ])
+    a = adj.select(
+        "src",
+        F.col("dst").cast(ship_t).alias("dst"),
+        (
+            F.col("rank").cast("long") if ranked else F.lit(None).cast("long")
+        ).alias("rank"),
+        (F.col("prob") if weighted else F.lit(None).cast("double")).alias("prob"),
+        (
+            F.col("alias_dst").cast(ship_t)
+            if weighted
+            else F.lit(None).cast(ship_t)
+        ).alias("alias_dst"),
+        F.lit(None).cast("string").alias("walk_id"),
+        F.lit(None).cast("string").alias("base"),
+    )
+    w = walkers.select(
+        F.col("start").alias("src"),
+        F.lit(None).cast(ship_t).alias("dst"),
+        F.lit(None).cast("long").alias("rank"),
+        F.lit(None).cast("double").alias("prob"),
+        F.lit(None).cast(ship_t).alias("alias_dst"),
+        "walk_id",
+        F.col("base").cast("string").alias("base"),
+    )
+    return a.unionByName(w), out_schema, int_ids
+
+
+def _decode_walk_stream(batches, weighted, ranked, int_ids):
+    """Kernel-side decode of a ``_walk_marked_stream`` batch iterator
+    into the CSR + walker arrays both replay kernels consume.
+
+    Returns None when either side is empty, else a dict with:
+    ids (sorted unique vertex ids), deg, offsets, dst_s (CSR neighbor
+    codes, rank order within each source block), prob_s/alias_s
+    (weighted only), wid (walk ids), base (uint64 per-walker hash),
+    cur (start codes) — walkers whose start has no adjacency row are
+    already dropped (the distributed frontier's inner-degree-join
+    contract).
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_src, a_dst, a_rank, a_prob, a_alias = [], [], [], [], []
+    k_id, k_start, k_base = [], [], []
+
+    def _ids(col):
+        # integral ids shipped as strings decode exactly; see
+        # _walk_marked_stream on why they cannot ride as longs
+        return col.astype(np.int64).to_numpy() if int_ids else col.to_numpy()
+
+    for pdf in batches:
+        isw = pdf["walk_id"].notna()
+        arows = pdf.loc[~isw]
+        if len(arows):
+            a_src.append(_ids(arows["src"]) if int_ids else arows["src"].to_numpy())
+            a_dst.append(_ids(arows["dst"]))
+            if ranked:
+                a_rank.append(arows["rank"].to_numpy(dtype=np.int64))
+            if weighted:
+                a_prob.append(arows["prob"].to_numpy(dtype=np.float64))
+                a_alias.append(_ids(arows["alias_dst"]))
+        wrows = pdf.loc[isw]
+        if len(wrows):
+            k_id.append(wrows["walk_id"].to_numpy())
+            k_start.append(
+                _ids(wrows["src"]) if int_ids else wrows["src"].to_numpy()
+            )
+            k_base.append(wrows["base"].astype(np.int64).to_numpy())
+    if not k_id or not a_src:
+        return None
+    src = np.concatenate(a_src)
+    dst = np.concatenate(a_dst)
+    rank = np.concatenate(a_rank) if ranked else None
+    alias = np.concatenate(a_alias) if weighted else None
+    starts = np.concatenate(k_start)
+    parts = [src, dst] + ([alias] if weighted else []) + [starts]
+    keys = np.concatenate(parts)
+    # id-sorted dense codes (the pagerank-kernel indexing pattern);
+    # sorted order doubles as the implicit rank order when ranked=False
+    if keys.dtype == object:
+        codes, uniques = pd.factorize(keys)
+        order_u = np.argsort(uniques)
+        pos = np.empty(len(order_u), dtype=np.int64)
+        pos[order_u] = np.arange(len(order_u))
+        inv = pos[codes]
+        ids = uniques[order_u]
+    else:
+        ids, inv = np.unique(keys, return_inverse=True)
+    n_e = len(src)
+    src_i = inv[:n_e]
+    dst_i = inv[n_e:2 * n_e]
+    off = 2 * n_e
+    alias_i = None
+    if weighted:
+        alias_i = inv[off:off + n_e]
+        off += n_e
+    start_i = inv[off:]
+    n = len(ids)
+    deg = np.bincount(src_i, minlength=n)
+    # CSR layout: rows grouped by source code, rank order within
+    # (without an explicit rank, id-sorted dst codes ARE the rank
+    # order — ranked_adjacency's window is orderBy(dst))
+    order = np.lexsort((rank if ranked else dst_i, src_i))
+    dst_s = dst_i[order]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=offsets[1:])
+    out = {
+        "ids": ids, "deg": deg, "offsets": offsets, "dst_s": dst_s,
+        "prob_s": np.concatenate(a_prob)[order] if weighted else None,
+        "alias_s": alias_i[order] if weighted else None,
+    }
+    ok = deg[start_i] > 0
+    out["wid"] = np.concatenate(k_id)[ok]
+    out["base"] = np.concatenate(k_base)[ok].view(np.uint64)
+    out["cur"] = start_i[ok].copy()
+    return out
+
+
+def _emit_corpus(ids, wid, seq_c):
+    """Chunked (walk_id, start, seq) emission shared by both kernels."""
+    import pandas as pd
+
+    id_mat = ids[seq_c]
+    start_ids = ids[seq_c[:, 0]]
+    chunk = 65536
+    for i in range(0, len(wid), chunk):
+        yield pd.DataFrame(
+            {
+                "walk_id": wid[i:i + chunk],
+                "start": start_ids[i:i + chunk],
+                "seq": [r.tolist() for r in id_mat[i:i + chunk]],
+            }
+        )
+
+
+def _empty_corpus():
+    import pandas as pd
+
+    return pd.DataFrame({"walk_id": [], "start": [], "seq": []})
+
+
 def _local_random_walks(
     adj: DataFrame,
     walkers: DataFrame,
@@ -113,168 +292,56 @@ def _local_random_walks(
 
     The step-t transition of the distributed loop is
     ``pmod(xxhash64(walk_id, t, seed), degree(cur))`` — a pure function
-    of (walk_id, t, seed) modulo a table lookup. ``walkers`` therefore
-    arrives with the raw step hashes (and, weighted, the raw coin
-    hashes) ALREADY computed by the same Spark ``xxhash64`` expressions
-    the distributed loop evaluates, and the kernel replays the walk as
-    vectorized numpy gathers: the corpus is byte-identical to the
-    distributed strategies by construction (parity-pinned in
-    test_walks), with zero per-step stage barriers.
+    of (walk_id, t, seed) modulo a table lookup. Walkers ship ONE hash
+    (``base = xxhash64(walk_id)``); the kernel re-derives every step
+    hash/coin through the Spark-bit-exact chain in functions/xxh64.py
+    (``xxhash64(walk_id, t, seed[, 'coin'])`` folds left with the
+    running hash as the next seed; the seed literal's int-vs-long
+    typing is mirrored by ``hash_py_int`` — all pinned by
+    tests/test_xxh64.py) and replays the walk as vectorized numpy
+    gathers: the corpus is byte-identical to the distributed
+    strategies by construction (parity-pinned in test_walks), with
+    zero per-step stage barriers.
 
-    Input protocol (one unioned stream, ``walk_id`` null = adjacency
-    row): adjacency rows carry (src, dst, rank[, prob, alias_dst]);
-    walker rows carry (src=start, walk_id, base). Walkers whose start
-    has no adjacency row are dropped — the same silent
-    inner-join-on-degree contract as the distributed frontier seed.
-    ``coalesce(1)`` narrowly merges the partitions; nothing shuffles.
-
-    ``base = xxhash64(walk_id)`` is the ONLY hash shipped per walker;
-    the per-step hashes/coins are re-derived in-kernel through the
-    Spark-bit-exact chain in functions/xxh64.py (``xxhash64(walk_id,
-    t, seed[, 'coin'])`` folds left with the running hash as the next
-    seed — pinned by tests/test_xxh64.py). It rides as a DECIMAL
-    STRING, not a long: the adjacency side carries the column as null
-    through the union, and (a) a nullable long reaches pandas as
-    float64, which corrupts 64-bit hash values (observed: every walk
-    diverging), (b) Spark's Arrow writer degrades to per-row work on
-    null ARRAY columns (measured 14-17s per column per 1.17M adjacency
-    rows) while a null string column costs ~0.3s — so the scalar
-    string is both the correct and the cheap encoding.
-
-    ``ranked=False`` accepts the raw SYMMETRIC edge table instead of a
-    ``ranked_adjacency`` result: the kernel then derives the rank order
-    itself from its id-sorted code space (``rank`` is by-construction
-    the position of ``dst`` in id order among ``src``'s neighbors —
-    numpy's string order and Spark's UTF8String order agree: both are
-    codepoint order, and UTF-8 byte order equals codepoint order).
-    That skips BOTH adjacency windows (two exchanges plus an in-task
-    1.17M-row sort at sf0.1) on the unweighted owned-adjacency path.
+    Input protocol, column encodings (Arrow hazards) and the
+    ``ranked=False`` implicit-rank contract live in
+    ``_walk_marked_stream`` / ``_decode_walk_stream`` (shared with the
+    node2vec kernel). ``coalesce(1)`` narrowly merges the partitions;
+    nothing shuffles.
     """
-    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
-
-    id_type = adj.schema["src"].dataType
-    id_t = id_type.simpleString()
-    out_schema = StructType([
-        StructField("walk_id", StringType()),
-        StructField("start", id_type),
-        StructField("seq", ArrayType(id_type)),
-    ])
-    a = adj.select(
-        "src",
-        "dst",
-        (
-            F.col("rank").cast("long") if ranked else F.lit(None).cast("long")
-        ).alias("rank"),
-        (F.col("prob") if weighted else F.lit(None).cast("double")).alias("prob"),
-        (
-            F.col("alias_dst") if weighted else F.lit(None).cast(id_t)
-        ).alias("alias_dst"),
-        F.lit(None).cast("string").alias("walk_id"),
-        F.lit(None).cast("string").alias("base"),
+    marked, out_schema, int_ids = _walk_marked_stream(
+        adj, walkers, weighted, ranked
     )
-    w = walkers.select(
-        F.col("start").alias("src"),
-        F.lit(None).cast(id_t).alias("dst"),
-        F.lit(None).cast("long").alias("rank"),
-        F.lit(None).cast("double").alias("prob"),
-        F.lit(None).cast(id_t).alias("alias_dst"),
-        "walk_id",
-        F.col("base").cast("string").alias("base"),
-    )
-    marked = a.unionByName(w)
 
     def kernel(batches):
         import numpy as np
-        import pandas as pd
 
         from cryptowalletcommunitydetection_spark.functions.xxh64 import (
             hash_bytes_const,
             hash_int,
+            hash_py_int,
             pmod_u64,
         )
 
-        a_src, a_dst, a_rank, a_prob, a_alias = [], [], [], [], []
-        k_id, k_start, k_base = [], [], []
-        for pdf in batches:
-            isw = pdf["walk_id"].notna()
-            arows = pdf.loc[~isw]
-            if len(arows):
-                a_src.append(arows["src"].to_numpy())
-                a_dst.append(arows["dst"].to_numpy())
-                if ranked:
-                    a_rank.append(arows["rank"].to_numpy(dtype=np.int64))
-                if weighted:
-                    a_prob.append(arows["prob"].to_numpy(dtype=np.float64))
-                    a_alias.append(arows["alias_dst"].to_numpy())
-            wrows = pdf.loc[isw]
-            if len(wrows):
-                k_id.append(wrows["walk_id"].to_numpy())
-                k_start.append(wrows["src"].to_numpy())
-                k_base.append(wrows["base"].astype(np.int64).to_numpy())
-
-        def _empty():
-            return pd.DataFrame({"walk_id": [], "start": [], "seq": []})
-
-        if not k_id or not a_src:
-            yield _empty()
+        g = _decode_walk_stream(batches, weighted, ranked, int_ids)
+        if g is None:
+            yield _empty_corpus()
             return
-        src = np.concatenate(a_src)
-        dst = np.concatenate(a_dst)
-        rank = np.concatenate(a_rank) if ranked else None
-        alias = np.concatenate(a_alias) if weighted else None
-        starts = np.concatenate(k_start)
-        parts = [src, dst] + ([alias] if weighted else []) + [starts]
-        keys = np.concatenate(parts)
-        # id-sorted dense codes (the pagerank-kernel indexing pattern);
-        # sorted order is load-bearing only for determinism of the ids
-        # array, not for rank semantics (rank rides explicitly)
-        if keys.dtype == object:
-            codes, uniques = pd.factorize(keys)
-            order_u = np.argsort(uniques)
-            pos = np.empty(len(order_u), dtype=np.int64)
-            pos[order_u] = np.arange(len(order_u))
-            inv = pos[codes]
-            ids = uniques[order_u]
-        else:
-            ids, inv = np.unique(keys, return_inverse=True)
-        n_e = len(src)
-        src_i = inv[:n_e]
-        dst_i = inv[n_e:2 * n_e]
-        off = 2 * n_e
-        if weighted:
-            alias_i = inv[off:off + n_e]
-            off += n_e
-        start_i = inv[off:]
-        n = len(ids)
-        deg = np.bincount(src_i, minlength=n)
-        # CSR layout: rows grouped by source code, rank order within.
-        # Without an explicit rank the id-sorted dst codes ARE the rank
-        # order (ranked_adjacency's window is orderBy(dst)).
-        order = np.lexsort((rank if ranked else dst_i, src_i))
-        dst_s = dst_i[order]
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(deg, out=offsets[1:])
-        if weighted:
-            prob_s = np.concatenate(a_prob)[order]
-            alias_s = alias_i[order]
-        # distributed parity: the frontier seed inner-joins degrees, so
-        # starts absent from the adjacency silently walk nothing
-        ok = deg[start_i] > 0
-        wid = np.concatenate(k_id)[ok]
-        base = np.concatenate(k_base)[ok].view(np.uint64)
-        cur = start_i[ok].copy()
+        deg, offsets, dst_s = g["deg"], g["offsets"], g["dst_s"]
+        prob_s, alias_s = g["prob_s"], g["alias_s"]
+        base, cur = g["base"], g["cur"]
         n_w = len(cur)
         if n_w == 0:
-            yield _empty()
+            yield _empty_corpus()
             return
         seq_c = np.empty((n_w, walk_length), dtype=np.int64)
         seq_c[:, 0] = cur
         denom = float(_COIN_DENOM)
         for t in range(1, walk_length):
             # xxhash64(walk_id, t, seed) re-derived from the shipped
-            # base through the Spark-bit-exact chain; pmod via numpy %
-            # (sign follows the positive divisor, matching Spark pmod)
-            h_t = hash_int(seed, hash_int(t, base))
+            # base; pmod via numpy % (sign follows the positive
+            # divisor, matching Spark pmod)
+            h_t = hash_py_int(seed, hash_int(t, base))
             r = pmod_u64(h_t, deg[cur])
             row = offsets[cur] + r
             if weighted:
@@ -288,19 +355,10 @@ def _local_random_walks(
                 nxt = dst_s[row]
             seq_c[:, t] = nxt
             cur = nxt
-        id_mat = ids[seq_c]
-        start_ids = ids[seq_c[:, 0]]
-        chunk = 65536
-        for i in range(0, n_w, chunk):
-            yield pd.DataFrame(
-                {
-                    "walk_id": wid[i:i + chunk],
-                    "start": start_ids[i:i + chunk],
-                    "seq": [r.tolist() for r in id_mat[i:i + chunk]],
-                }
-            )
+        yield from _emit_corpus(g["ids"], g["wid"], seq_c)
 
     return marked.coalesce(1).mapInPandas(kernel, out_schema)
+
 
 
 def _local_node2vec_walks(
@@ -317,145 +375,50 @@ def _local_node2vec_walks(
 ):
     """Single-task replay of the node2vec rejection-sampling rounds.
 
-    Same protocol as ``_local_random_walks`` (one unioned stream,
-    ``walk_id`` null = adjacency row), but walkers carry ONE long —
-    ``base = xxhash64(walk_id)`` — instead of shipped hash arrays:
-    the A-attempt x 3-channel x L-step hash tensor is re-derived
-    in-kernel through the Spark-bit-exact chain in functions/xxh64.py
+    Same stream protocol as ``_local_random_walks`` (see
+    ``_walk_marked_stream`` / ``_decode_walk_stream``). The A-attempt x
+    3-channel x L-step hash tensor is re-derived from the per-walker
+    base hash through the Spark-bit-exact chain in functions/xxh64.py
     (``xxhash64(walk_id, t, att, seed[, ch])`` folds left with the
-    running hash as the next seed, so the string prefix is computed
-    once by Spark and the integer/constant-string suffixes vectorize
-    in numpy; pinned by tests/test_xxh64.py). The membership test (is
-    x a neighbor of prev) is a vectorized binary search per walker in
-    the CSR block of ``prev`` — within-block order is dst-id order on
-    BOTH adjacency flavors (``ranked=False`` raw symmetric edges get
-    code-sorted here; alias tables rank dst-sorted at build), which
-    equals dst-code order because codes are id-sorted.
+    running hash as the next seed; seed literal typing mirrored by
+    ``hash_py_int``). The membership test (is x a neighbor of prev) is
+    a vectorized binary search per walker in the CSR block of ``prev``
+    — within-block order is dst-id order on BOTH adjacency flavors
+    (``ranked=False`` raw symmetric edges get code-sorted here; alias
+    tables rank dst-sorted at build), which equals dst-code order
+    because codes are id-sorted.
 
     Semantics replayed exactly (parity-pinned in test_walks): step 1 is
     one uniform (weighted: alias-drawn) proposal; steps >= 2 accept the
     FIRST attempt whose 'accept' coin clears w/max_w, falling back to
     attempt 0's proposal when all reject; weighted proposals draw
     through the alias coin ('alias' channel) before acceptance.
-
-    ``base`` rides as a DECIMAL STRING, not a long: the adjacency side
-    carries it as null through the union, and a nullable long column
-    reaches pandas as float64 — which cannot represent 64-bit hash
-    values exactly (observed: silently corrupted low bits, every walk
-    diverging). A null string column is also the cheap Arrow case (the
-    _local_random_walks measurement).
     """
-    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
-
-    id_type = adj.schema["src"].dataType
-    id_t = id_type.simpleString()
-    out_schema = StructType([
-        StructField("walk_id", StringType()),
-        StructField("start", id_type),
-        StructField("seq", ArrayType(id_type)),
-    ])
-    a = adj.select(
-        "src",
-        "dst",
-        (
-            F.col("rank").cast("long") if ranked else F.lit(None).cast("long")
-        ).alias("rank"),
-        (F.col("prob") if weighted else F.lit(None).cast("double")).alias("prob"),
-        (
-            F.col("alias_dst") if weighted else F.lit(None).cast(id_t)
-        ).alias("alias_dst"),
-        F.lit(None).cast("string").alias("walk_id"),
-        F.lit(None).cast("string").alias("base"),
+    marked, out_schema, int_ids = _walk_marked_stream(
+        adj, walkers, weighted, ranked
     )
-    w = walkers.select(
-        F.col("start").alias("src"),
-        F.lit(None).cast(id_t).alias("dst"),
-        F.lit(None).cast("long").alias("rank"),
-        F.lit(None).cast("double").alias("prob"),
-        F.lit(None).cast(id_t).alias("alias_dst"),
-        "walk_id",
-        F.col("base").cast("string").alias("base"),
-    )
-    marked = a.unionByName(w)
     w_max_k = max(w_ret, w_stay, w_far)
 
     def kernel(batches):
         import numpy as np
-        import pandas as pd
 
         from cryptowalletcommunitydetection_spark.functions.xxh64 import (
             hash_bytes_const,
             hash_int,
+            hash_py_int,
             pmod_u64,
         )
 
-        a_src, a_dst, a_rank, a_prob, a_alias = [], [], [], [], []
-        k_id, k_start, k_base = [], [], []
-        for pdf in batches:
-            isw = pdf["walk_id"].notna()
-            arows = pdf.loc[~isw]
-            if len(arows):
-                a_src.append(arows["src"].to_numpy())
-                a_dst.append(arows["dst"].to_numpy())
-                if ranked:
-                    a_rank.append(arows["rank"].to_numpy(dtype=np.int64))
-                if weighted:
-                    a_prob.append(arows["prob"].to_numpy(dtype=np.float64))
-                    a_alias.append(arows["alias_dst"].to_numpy())
-            wrows = pdf.loc[isw]
-            if len(wrows):
-                k_id.append(wrows["walk_id"].to_numpy())
-                k_start.append(wrows["src"].to_numpy())
-                # decimal-string decode (see docstring: a nullable long
-                # would arrive as float64 and corrupt the hash bits)
-                k_base.append(wrows["base"].astype(np.int64).to_numpy())
-
-        def _empty():
-            return pd.DataFrame({"walk_id": [], "start": [], "seq": []})
-
-        if not k_id or not a_src:
-            yield _empty()
+        g = _decode_walk_stream(batches, weighted, ranked, int_ids)
+        if g is None:
+            yield _empty_corpus()
             return
-        src = np.concatenate(a_src)
-        dst = np.concatenate(a_dst)
-        rank = np.concatenate(a_rank) if ranked else None
-        alias = np.concatenate(a_alias) if weighted else None
-        starts = np.concatenate(k_start)
-        parts = [src, dst] + ([alias] if weighted else []) + [starts]
-        keys = np.concatenate(parts)
-        if keys.dtype == object:
-            codes, uniques = pd.factorize(keys)
-            order_u = np.argsort(uniques)
-            pos = np.empty(len(order_u), dtype=np.int64)
-            pos[order_u] = np.arange(len(order_u))
-            inv = pos[codes]
-            ids = uniques[order_u]
-        else:
-            ids, inv = np.unique(keys, return_inverse=True)
-        n_e = len(src)
-        src_i = inv[:n_e]
-        dst_i = inv[n_e:2 * n_e]
-        off = 2 * n_e
-        if weighted:
-            alias_i = inv[off:off + n_e]
-            off += n_e
-        start_i = inv[off:]
-        n = len(ids)
-        deg = np.bincount(src_i, minlength=n)
-        order = np.lexsort((rank if ranked else dst_i, src_i))
-        dst_s = dst_i[order]
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(deg, out=offsets[1:])
-        if weighted:
-            prob_s = np.concatenate(a_prob)[order]
-            alias_s = alias_i[order]
-        ok = deg[start_i] > 0
-        wid = np.concatenate(k_id)[ok]
-        base = np.concatenate(k_base)[ok].view(np.uint64)
-        cur = start_i[ok].copy()
+        deg, offsets, dst_s = g["deg"], g["offsets"], g["dst_s"]
+        prob_s, alias_s = g["prob_s"], g["alias_s"]
+        base, cur = g["base"], g["cur"]
         n_w = len(cur)
         if n_w == 0:
-            yield _empty()
+            yield _empty_corpus()
             return
 
         denom = float(_COIN_DENOM)
@@ -499,13 +462,13 @@ def _local_node2vec_walks(
             h_t = hash_int(t, base)
             if t == 1:
                 # the standard uniform first transition (no real prev)
-                nxt = propose(hash_int(seed, hash_int(0, h_t)), cur)
+                nxt = propose(hash_py_int(seed, hash_int(0, h_t)), cur)
             else:
                 accepted = np.zeros(n_w, dtype=bool)
                 chosen = np.zeros(n_w, dtype=np.int64)
                 fallback = None
                 for att in range(max_attempts):
-                    h_sd = hash_int(seed, hash_int(att, h_t))
+                    h_sd = hash_py_int(seed, hash_int(att, h_t))
                     x = propose(h_sd, cur)
                     if att == 0:
                         fallback = x
@@ -524,19 +487,10 @@ def _local_node2vec_walks(
             seq_c[:, t] = nxt
             prev = cur
             cur = nxt
-        id_mat = ids[seq_c]
-        start_ids = ids[seq_c[:, 0]]
-        chunk = 65536
-        for i in range(0, n_w, chunk):
-            yield pd.DataFrame(
-                {
-                    "walk_id": wid[i:i + chunk],
-                    "start": start_ids[i:i + chunk],
-                    "seq": [r.tolist() for r in id_mat[i:i + chunk]],
-                }
-            )
+        yield from _emit_corpus(g["ids"], g["wid"], seq_c)
 
     return marked.coalesce(1).mapInPandas(kernel, out_schema)
+
 
 
 def ranked_adjacency(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
@@ -751,26 +705,40 @@ def random_walks(
     # seed the initial frontier — every later step reads the next hop's
     # degree off the adjacency row it just fetched
     deg = degrees(canon)
+    # distinct(): a duplicated start id would otherwise produce
+    # COLLIDING walk_ids, which the distributed assembly groupBy merges
+    # into one 2L-length row while the kernel emits two rows — the
+    # dedupe makes duplicate starts well-defined (one walk batch per
+    # distinct id) and strategy-invariant
     verts = (
-        starts.select(F.col("id"))
+        starts.select(F.col("id")).distinct()
         if starts is not None
         else deg.select("id")
     )
-    if strategy is None:
-        # one |V|-scale (or |starts|-scale) count decides the physical
-        # shape; the same probe-doubles-as-materialization pattern as
-        # graph/triangles.py. The edge count probe (local gate only)
-        # fills the canonical cache every later consumer reads.
-        fr_rows = verts.count() * num_walks
-        if (
-            fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
-            and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
-        ):
-            strategy = "local"
-        elif fr_rows <= BROADCAST_FRONTIER_MAX_ROWS:
-            strategy = "broadcast"
-        else:
-            strategy = "shuffle"
+    try:
+        if strategy is None:
+            # one |V|-scale (or |starts|-scale) count decides the
+            # physical shape; the same probe-doubles-as-materialization
+            # pattern as graph/triangles.py. The edge count probe
+            # (local gate only) fills the canonical cache every later
+            # consumer reads.
+            fr_rows = verts.count() * num_walks
+            if (
+                fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
+                and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
+            ):
+                strategy = "local"
+            elif fr_rows <= BROADCAST_FRONTIER_MAX_ROWS:
+                strategy = "broadcast"
+            else:
+                strategy = "shuffle"
+    except BaseException:
+        # the probe runs before the branch-local try/finally blocks
+        # own the cleanup — a failing starts scan must not leak the
+        # canonical cache
+        if canon_owned:
+            canon.unpersist()
+        raise
     adj_owned = adjacency is None
     if adj_owned and strategy != "local":
         adj = (
@@ -1053,30 +1021,39 @@ def node2vec_walks(
     if canon_owned:
         canon = canon.persist()
     deg = degrees(canon)
+    # distinct(): same duplicate-start collision rationale as
+    # random_walks
     verts = (
-        starts.select(F.col("id"))
+        starts.select(F.col("id")).distinct()
         if starts is not None
         else deg.select("id")
     )
-    if strategy is None:
-        # same cells gate as random_walks, NOT multiplied by
-        # max_attempts: the kernel's per-attempt cost is a few vector
-        # ops while the distributed rounds pay per-attempt ROW fan-out
-        # through three joins, so A cancels out of the crossover.
-        # MEASURED at A=32, p=0.5/q=2.0, local[32]: sf0.1 (160k cells)
-        # local 3.9s vs broadcast 18.2s; 4M cells (1.2M-edge uniform
-        # graph) local 35.1s vs shuffle 60.9s — local still 1.7x ahead
-        # at the deepwalk gate boundary.
-        fr_rows = verts.count() * num_walks
-        if (
-            fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
-            and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
-        ):
-            strategy = "local"
-        elif fr_rows * max_attempts <= BROADCAST_FRONTIER_MAX_ROWS:
-            strategy = "broadcast"
-        else:
-            strategy = "shuffle"
+    try:
+        if strategy is None:
+            # same cells gate as random_walks, NOT multiplied by
+            # max_attempts: the kernel's per-attempt cost is a few
+            # vector ops while the distributed rounds pay per-attempt
+            # ROW fan-out through three joins, so A cancels out of the
+            # crossover. MEASURED at A=32, p=0.5/q=2.0, local[32]:
+            # sf0.1 (160k cells) local 3.9s vs broadcast 18.2s; 4M
+            # cells (1.2M-edge uniform graph) local 35.1s vs shuffle
+            # 60.9s — local still 1.7x ahead at the deepwalk gate
+            # boundary.
+            fr_rows = verts.count() * num_walks
+            if (
+                fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
+                and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
+            ):
+                strategy = "local"
+            elif fr_rows * max_attempts <= BROADCAST_FRONTIER_MAX_ROWS:
+                strategy = "broadcast"
+            else:
+                strategy = "shuffle"
+    except BaseException:
+        # see random_walks: a failing probe must not leak the cache
+        if canon_owned:
+            canon.unpersist()
+        raise
     adj_owned = adjacency is None
     if adj_owned and strategy != "local":
         adj = (

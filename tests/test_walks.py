@@ -362,6 +362,70 @@ def test_local_kernel_parity_all_strategies(spark):
     assert {s for s, _ in sl.values()} == {0, 5}
 
 
+def test_local_kernel_parity_huge_long_ids_and_big_seed(spark):
+    """Two float64-precision regressions pinned: (1) vertex ids above
+    2^53 survive the kernel's Arrow transfer (integral ids ship as
+    strings — a nullable long column reaches pandas as float64 and
+    silently corrupts low bits); (2) a seed outside int32 hashes
+    through the 8-byte branch exactly like Spark's LongType literal
+    (hash_py_int)."""
+    base = 2 ** 61
+    pairs = [(base + a, base + b) for a, b in PAIRS]
+    edges = datagen.edges_df(spark, pairs)
+
+    def corp(strategy=None, seed=5):
+        return {
+            r["walk_id"]: (r["start"], tuple(r["seq"]))
+            for r in random_walks(
+                edges, num_walks=2, walk_length=6, seed=seed,
+                strategy=strategy,
+            ).collect()
+        }
+
+    a = corp(strategy="local")
+    assert a == corp(strategy="shuffle")
+    assert all(
+        all(v >= base for v in seq) for _, seq in a.values()
+    )  # no id got rounded
+    big_seed = 2 ** 31 + 7
+    assert corp(strategy="local", seed=big_seed) == corp(
+        strategy="shuffle", seed=big_seed
+    )
+    n2v_l = {
+        r["walk_id"]: tuple(r["seq"])
+        for r in node2vec_walks(
+            edges, p=0.5, q=2.0, num_walks=1, walk_length=5,
+            seed=big_seed, strategy="local",
+        ).collect()
+    }
+    n2v_d = {
+        r["walk_id"]: tuple(r["seq"])
+        for r in node2vec_walks(
+            edges, p=0.5, q=2.0, num_walks=1, walk_length=5,
+            seed=big_seed, strategy="shuffle",
+        ).collect()
+    }
+    assert n2v_l == n2v_d
+
+
+def test_duplicate_starts_deduped_all_strategies(spark):
+    """A duplicated start id yields ONE walk batch per distinct id on
+    every strategy (previously the distributed assembly merged the
+    colliding walk_ids into a single 2L-length row while the kernel
+    emitted two L-length rows)."""
+    edges = datagen.edges_df(spark, PAIRS)
+    starts = edges.sparkSession.createDataFrame(
+        [(0,), (0,), (5,)], "id long"
+    )
+    for strat in ("local", "shuffle"):
+        rows = random_walks(
+            edges, num_walks=1, walk_length=4, seed=3, starts=starts,
+            strategy=strat,
+        ).collect()
+        assert sorted(r["walk_id"] for r in rows) == ["0#0", "5#0"]
+        assert all(len(r["seq"]) == 4 for r in rows)
+
+
 def test_n2v_local_kernel_parity(spark):
     """The node2vec replay kernel (in-kernel Spark-bit-exact xxhash64
     chaining, functions/xxh64.py) reproduces the distributed

@@ -80,6 +80,25 @@ def test_const_string_step_matches_spark(spark, strings_df, lit):
     assert np.array_equal(got, mine)
 
 
+def test_big_int_literal_chain_matches_spark(spark, strings_df):
+    """F.lit(i) for i outside int32 becomes a LongType literal (8-byte
+    branch); hash_py_int mirrors that typing."""
+    from cryptowalletcommunitydetection_spark.functions.xxh64 import (
+        hash_py_int,
+    )
+
+    big = 2 ** 31 + 7
+    got = _spark_hashes(spark, strings_df, F.col("s"), F.lit(3), F.lit(big))
+    base = _spark_hashes(spark, strings_df, F.col("s")).view(np.uint64)
+    mine = to_spark_long(hash_py_int(big, hash_int(3, base)))
+    assert np.array_equal(got, mine)
+    # and the int32 boundary itself still routes through the int branch
+    small = 2 ** 31 - 1
+    got2 = _spark_hashes(spark, strings_df, F.col("s"), F.lit(small))
+    mine2 = to_spark_long(hash_py_int(small, base))
+    assert np.array_equal(got2, mine2)
+
+
 def test_pmod_matches_spark(spark, strings_df):
     got = np.array(
         [
