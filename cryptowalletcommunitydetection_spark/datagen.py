@@ -134,6 +134,10 @@ def star(n: int, hub: int = 0) -> list[tuple[int, int]]:
     return [(hub, i) for i in range(n) if i != hub]
 
 
+def clique(k: int) -> list[tuple[int, int]]:
+    return [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+
 def two_cliques_bridge(k: int) -> list[tuple[int, int]]:
     """Two k-cliques {0..k-1} and {k..2k-1} joined by one bridge edge."""
     e = [(i, j) for i in range(k) for j in range(i + 1, k)]

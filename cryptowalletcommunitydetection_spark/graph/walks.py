@@ -61,6 +61,35 @@ _COIN_DENOM = 1 << 53
 """Hash-coin resolution: xxhash64 folded into [0, 1) at double
 precision (2^53 distinguishable values — the full double mantissa)."""
 
+
+def _transition_hash(transition: str, walk_id, t: int, seed: int):
+    """The step-t transition hash as a column expression.
+
+    - ``"xxhash64"`` (default): ``xxhash64(walk_id, t, seed)`` — the
+      production transition (JVM hash, replayable by the numpy chain in
+      functions/xxh64.py).
+    - ``"md5_52"``: first 13 hex chars of ``md5(walk_id|t|seed)`` as a
+      52-bit integer — the ORACLE-TWIN transition: DuckDB recomputes it
+      bit for bit (the same md5_52 convention as operators/dedup.py),
+      so a SQL oracle can unroll the whole corpus value for value. Same
+      frontier/join/assembly plan either way; only this projection
+      differs.
+    """
+    if transition == "xxhash64":
+        return F.xxhash64(walk_id, F.lit(t), F.lit(seed))
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", walk_id, F.lit(t).cast("string"),
+                    F.lit(seed).cast("string"),
+                )
+            ),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+
 BROADCAST_FRONTIER_MAX_ROWS = 1_000_000
 """Auto-strategy gate: frontiers (|starts|·num_walks rows, three
 narrow columns) at or below this broadcast per step — each superstep is
@@ -522,6 +551,126 @@ def ranked_adjacency(edges: DataFrame, assume_canonical: bool = False) -> DataFr
     )
 
 
+def _alias_build_kernel(batches):
+    """Partition kernel for ``alias_tables``: rows arrive sorted by
+    (src, dst) with every src's rows co-located; emits one alias-table
+    row per input row. Fully vectorized — segmented prefix sums over
+    the partition, merged-order rank counts (lexsort + cumsum) for the
+    two cross-stream lookups; no per-element Python. Construction math
+    in the ``alias_tables`` docstring; the invariant is pinned
+    numerically by tests/test_walks.py::test_alias_tables_exact_marginals."""
+    import numpy as np
+    import pandas as pd
+
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    w = pdf["weight"].to_numpy(dtype="float64")
+    if np.any(w < 0):
+        raise ValueError("alias_tables: negative edge weight")
+    n = len(src)
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = src[1:] != src[:-1]
+    seg = np.cumsum(new_seg) - 1            # dense per-vertex segment id
+    seg_start = np.flatnonzero(new_seg)
+    seg_len = np.diff(np.r_[seg_start, n])  # K per vertex
+    n_seg = len(seg_start)
+    W = np.add.reduceat(w, seg_start)
+    if np.any(W <= 0):
+        raise ValueError("alias_tables: a vertex has zero total weight")
+    scaled = w * (seg_len[seg].astype(np.float64) / W[seg])
+    rank = np.arange(n, dtype=np.int64) - seg_start[seg]
+
+    prob = np.ones(n, dtype=np.float64)
+    alias_row = np.arange(n, dtype=np.int64)  # self-alias default
+
+    light = scaled < 1.0
+    li = np.flatnonzero(light)
+    hv = np.flatnonzero(~light)
+    if len(li) and len(hv):
+
+        def seg_cum(vals, segs):
+            # inclusive segmented cumsum (segs grouped, nondecreasing)
+            c = np.cumsum(vals)
+            nf = np.r_[True, segs[1:] != segs[:-1]]
+            first = np.flatnonzero(nf)
+            offs = np.concatenate(([0.0], c[first[1:] - 1]))
+            return c - offs[np.cumsum(nf) - 1]
+
+        def rank_count(a_seg, a_val, a_tie, b_seg, b_val, b_tie):
+            # for each A element: #B elements in the same segment
+            # sorting strictly before it in (value, tie) order
+            segs = np.concatenate([a_seg, b_seg])
+            vals = np.concatenate([a_val, b_val])
+            ties = np.concatenate([a_tie, b_tie])
+            isb = np.concatenate(
+                [np.zeros(len(a_seg), dtype=np.int64),
+                 np.ones(len(b_seg), dtype=np.int64)]
+            )
+            order = np.lexsort((ties, vals, segs))
+            isb_s = isb[order]
+            segs_s = segs[order]
+            csum = np.cumsum(isb_s)
+            nf = np.r_[True, segs_s[1:] != segs_s[:-1]]
+            first = np.flatnonzero(nf)
+            base = np.concatenate(([0], csum[first[1:] - 1]))
+            before = csum - isb_s - base[np.cumsum(nf) - 1]
+            out = np.empty(len(segs), dtype=np.int64)
+            out[order] = before
+            return out[: len(a_seg)]
+
+        d = 1.0 - scaled[li]
+        D_inc = seg_cum(d, seg[li])
+        D_exc = D_inc - d
+        S_inc = seg_cum(scaled[hv] - 1.0, seg[hv])
+        h_cnt = np.bincount(seg[hv], minlength=n_seg)
+        l_cnt = np.bincount(seg[li], minlength=n_seg)
+        h_first = np.r_[0, np.cumsum(h_cnt)][:-1]  # seg -> first idx in hv
+        l_first = np.r_[0, np.cumsum(l_cnt)][:-1]
+
+        z_l = np.zeros(len(li), dtype=np.int64)
+        o_h = np.ones(len(hv), dtype=np.int64)
+        # light i's donor = first heavy with S >= D_exc (ties current,
+        # so a tied heavy must NOT count as "before": heavy tie sorts
+        # after light tie)
+        j_ord = rank_count(seg[li], D_exc, z_l, seg[hv], S_inc, o_h)
+        okl = h_cnt[seg[li]] > 0  # float-noise all-light segments: self
+        li_ok = li[okl]
+        j_ok = np.minimum(j_ord[okl], h_cnt[seg[li_ok]] - 1)  # noise clip
+        prob[li_ok] = scaled[li_ok]
+        alias_row[li_ok] = hv[h_first[seg[li_ok]] + j_ok]
+
+        # heavy j finalizes at the first light with D > S_j (ties keep
+        # it alive: D <= S counts as before): retains 1 + S_j - D_{i*},
+        # aliased to the segment's next heavy
+        i_ord = rank_count(seg[hv], S_inc, o_h, seg[li], D_inc, z_l)
+        hv_rank = np.arange(len(hv), dtype=np.int64) - h_first[seg[hv]]
+        fin = (i_ord < l_cnt[seg[hv]]) & (hv_rank + 1 < h_cnt[seg[hv]])
+        fi = np.flatnonzero(fin)
+        if len(fi):
+            D_star = D_inc[l_first[seg[hv[fi]]] + i_ord[fi]]
+            prob[hv[fi]] = np.clip(1.0 + S_inc[fi] - D_star, 0.0, 1.0)
+            alias_row[hv[fi]] = hv[fi + 1]
+
+    out_rank = rank.astype("int32")
+    alias_dst = dst[alias_row]
+    chunk = 65536
+    for i in range(0, n, chunk):
+        yield pd.DataFrame(
+            {
+                "src": src[i:i + chunk],
+                "rank": out_rank[i:i + chunk],
+                "dst": dst[i:i + chunk],
+                "prob": prob[i:i + chunk],
+                "alias_dst": alias_dst[i:i + chunk],
+            }
+        )
+
+
 def alias_tables(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     """Walker alias tables for weighted neighbor sampling:
     DataFrame[src, rank, dst, prob, alias_dst, dst_degree,
@@ -536,16 +685,34 @@ def alias_tables(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     against per-vertex cumulative weights, which re-introduces the
     neighbor-list fan-out the rank join avoids.
 
-    Built with one ``applyInPandas`` over the symmetrized weighted
-    adjacency grouped by source — O(K) per vertex (the classic
-    two-stack construction), deterministic (neighbors sorted by id
-    before ranking, stack order index-driven). A 10^7-degree hub is one
-    O(K) group in one task — linear work and memory, the documented
-    bound; the construction is one-time per graph and reusable across
-    corpora via the ``adjacency`` argument of ``random_walks``.
+    Built VECTORIZED over whole partitions: the symmetric weighted
+    adjacency is hash-partitioned by ``src`` and sorted by
+    ``(src, dst)``, and one ``mapInPandas`` kernel constructs every
+    vertex's table in that partition with segmented numpy prefix sums —
+    no per-element Python, no per-vertex pandas group. The construction
+    is the prefix-sum ("sweep") formulation of Walker/Vose: lay the
+    light items' deficits (``1 - scaled``) and the heavy items'
+    surpluses (``scaled - 1``) out as two cumulative streams per
+    vertex; the donor heavy of light i is the first heavy whose
+    cumulative surplus reaches light i's cumulative deficit, and a
+    heavy's own bucket retains ``1 + S_j - D_{i*}`` (its surplus
+    coordinate minus the deficit coordinate of the light that exhausted
+    it), aliased to the NEXT heavy — both lookups are merged-order
+    rank counts (lexsort + cumsum), the parallel-alias-table
+    construction of Hübschle-Schneider & Sanders (2019) specialized to
+    one pass. Exactly the Walker marginal, O(K log K) vectorized work
+    per vertex, deterministic (neighbor order = id order; no stack
+    state).
+
+    A 10^7-degree hub still lands in one task's PARTITION (hash
+    partitioning cannot split a key), but the kernel's work there is a
+    few numpy array passes — the linear-memory residency of the hub's
+    rows is the documented bound, the former minutes of per-row Python
+    are gone (tests/test_walks.py pins a 10^5-degree hub build).
 
     Input needs a ``weight`` column (missing -> multiplicity weight 1
-    per canonical edge via ``canonicalize_edges``)."""
+    per canonical edge via ``canonicalize_edges``); weights must be
+    non-negative (negative weights raise in the kernel)."""
     if assume_canonical:
         canon = edges
         if "weight" not in canon.columns:
@@ -562,30 +729,11 @@ def alias_tables(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
         f"src {src_t}, rank int, dst {dst_t}, prob double, alias_dst {dst_t}"
     )
 
-    def build(pdf):
-        import numpy as np
-
-        pdf = pdf.sort_values("dst").reset_index(drop=True)
-        w = pdf["weight"].to_numpy(dtype="float64")
-        k = len(w)
-        scaled = w * (k / w.sum())
-        prob = np.ones(k, dtype="float64")
-        alias = np.arange(k, dtype="int64")
-        small = [i for i in range(k) if scaled[i] < 1.0]
-        large = [i for i in range(k) if scaled[i] >= 1.0]
-        while small and large:
-            s, l = small.pop(), large.pop()
-            prob[s] = scaled[s]
-            alias[s] = l
-            scaled[l] -= 1.0 - scaled[s]
-            (small if scaled[l] < 1.0 else large).append(l)
-        out = pdf[["src", "dst"]].copy()
-        out["rank"] = np.arange(k, dtype="int64")
-        out["prob"] = prob
-        out["alias_dst"] = pdf["dst"].to_numpy()[alias]
-        return out[["src", "rank", "dst", "prob", "alias_dst"]]
-
-    tab = sym.groupBy("src").applyInPandas(build, schema)
+    tab = (
+        sym.repartition("src")
+        .sortWithinPartitions("src", "dst")
+        .mapInPandas(_alias_build_kernel, schema)
+    )
     # annotate both stored outcomes with their vertex's degree (= that
     # vertex's alias-table size), so a walk never needs a separate
     # degree join per step; deg is |V| rows x 2 cols — two one-time
@@ -619,6 +767,7 @@ def random_walks(
     weighted: bool = False,
     strategy: str | None = None,
     adjacency: DataFrame | None = None,
+    transition: str = "xxhash64",
 ) -> DataFrame:
     """DeepWalk corpus: DataFrame[walk_id, start, seq].
 
@@ -639,12 +788,14 @@ def random_walks(
     of walk_id/step/seed; parity is test-pinned):
 
     - ``"local"``: ONE Arrow task replays every walk against the
-      in-memory adjacency; the step hashes are computed by the same
-      Spark ``xxhash64`` projection the joins would evaluate, so the
-      corpus is byte-identical with zero per-step stage barriers.
-      Right when walkers x length and the adjacency both fit one task
-      (the small-graph / seed-set regime where the distributed loop is
-      pure barrier overhead).
+      in-memory adjacency. Each walker ships a single Spark-computed
+      ``xxhash64(walk_id)`` base hash; every per-step hash/coin is
+      re-derived from it through the Spark-bit-exact numpy chain in
+      functions/xxh64.py (parity pinned by test_xxh64/test_walks), so
+      the corpus is byte-identical to the distributed strategies with
+      zero per-step stage barriers. Right when walkers x length and
+      the adjacency both fit one task (the small-graph / seed-set
+      regime where the distributed loop is pure barrier overhead).
     - ``"broadcast"``: the frontier is broadcast; each step is ONE
       mapper-side stage over the cached adjacency — no shuffle at all.
       Right when |starts|·num_walks is executor-memory small (seed-set
@@ -679,6 +830,12 @@ def random_walks(
     ``xxhash64(walk_id, t, seed, 'coin')`` coin in weighted mode) —
     same (edges, num_walks, walk_length, seed) → identical corpus, on
     any partitioning or cluster size.
+
+    ``transition="md5_52"`` swaps the transition projection for its
+    DuckDB-recomputable md5 twin (see ``_transition_hash``) so a SQL
+    oracle can unroll the whole corpus — the driver-gate mode.
+    Unweighted distributed strategies only (the local kernel replays
+    the xxhash64 chain; the weighted coin is xxhash64-folded).
     """
     if walk_length < 1:
         raise ValueError("walk_length must be >= 1")
@@ -688,6 +845,17 @@ def random_walks(
         raise ValueError(
             "strategy must be None, 'local', 'broadcast' or 'shuffle'"
         )
+    if transition not in ("xxhash64", "md5_52"):
+        raise ValueError("transition must be 'xxhash64' or 'md5_52'")
+    if transition != "xxhash64":
+        if weighted:
+            raise ValueError(
+                "transition='md5_52' supports unweighted walks only"
+            )
+        if strategy == "local":
+            raise ValueError(
+                "the local kernel replays the xxhash64 chain only"
+            )
 
     if assume_canonical:
         canon = edges
@@ -724,7 +892,8 @@ def random_walks(
             # consumer reads.
             fr_rows = verts.count() * num_walks
             if (
-                fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
+                transition == "xxhash64"
+                and fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
                 and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
             ):
                 strategy = "local"
@@ -849,7 +1018,7 @@ def random_walks(
             # [0, cur_degree), fetch that adjacency row; the row carries
             # the next hop's degree for step t+1
             choice = F.pmod(
-                F.xxhash64(F.col("walk_id"), F.lit(t), F.lit(seed)),
+                _transition_hash(transition, F.col("walk_id"), t, seed),
                 F.col("cur_degree"),
             ).cast("int")
             with_choice = frontier.select(

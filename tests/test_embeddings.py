@@ -65,9 +65,10 @@ def test_community_geometry(spark):
 def test_corpus_reuse_matches_implicit(spark):
     """Training on an explicitly precomputed corpus gives the same
     vectors as letting the function generate the identical corpus
-    (num_partitions=1 -> bit-reproducible SGD)."""
+    (num_partitions=1 -> the opt-in bit-reproducible SGD mode)."""
     edges = datagen.edges_df(spark, PAIRS)
-    kw = dict(dim=8, num_walks=4, walk_length=8, seed=11, max_iter=1)
+    kw = dict(dim=8, num_walks=4, walk_length=8, seed=11, max_iter=1,
+              num_partitions=1)
     implicit = _vectors(spark, PAIRS, **kw)
     corpus = random_walks(edges, num_walks=4, walk_length=8, seed=11)
     out = deepwalk_embeddings(edges, corpus=corpus, **kw)
@@ -76,6 +77,51 @@ def test_corpus_reuse_matches_implicit(spark):
     assert implicit.keys() == explicit.keys()
     for k in implicit:
         assert np.array_equal(implicit[k], explicit[k])
+
+
+def test_sharded_training_matches_per_component(spark):
+    """Component-sharded path (`shard_vocab_above`): two DISJOINT
+    6-cliques with bound 5 -> two shards, one component each. Walks
+    never leave a component (every hop is an edge), so on a disjoint
+    union the walks starting in clique A are byte-identical to the
+    walks over clique A alone — per-shard training at num_partitions=1
+    must therefore reproduce, vector for vector, a stand-alone training
+    of each component."""
+    from pyspark.sql import functions as F
+
+    clique_a = datagen.clique(6)                      # vertices 0..5
+    clique_b = [(s + 6, d + 6) for s, d in datagen.clique(6)]  # 6..11
+    kw = dict(dim=8, num_walks=4, walk_length=8, seed=11, max_iter=1,
+              num_partitions=1)
+    edges = datagen.edges_df(spark, clique_a + clique_b)
+    sharded = deepwalk_embeddings(edges, shard_vocab_above=5, **kw)
+    got = {r["id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in sharded.collect()}
+    assert set(got) == set(range(12))  # full walked domain survives
+    assert sharded.schema["embedding"].dataType.simpleString() == (
+        "array<float>"
+    )
+    for pairs, members in ((clique_a, range(6)), (clique_b, range(6, 12))):
+        alone = _vectors(spark, pairs, **kw)
+        assert set(alone) == set(members)
+        for k in alone:
+            assert np.array_equal(got[k], alone[k])
+
+
+def test_default_is_data_parallel(spark):
+    """The default (num_partitions=None) resolves to
+    defaultParallelism — the scalable mode — and keeps the geometry
+    contract: same-clique vertices stay more similar than cross-clique
+    ones even under data-parallel SGD averaging."""
+    vecs = _vectors(
+        spark, PAIRS, dim=16, num_walks=30, walk_length=10, seed=7,
+        window=4, max_iter=4,
+    )
+    a, b = list(range(6)), list(range(6, 12))
+    intra = [_cos(vecs[i], vecs[j]) for g in (a, b)
+             for i in g for j in g if i < j]
+    inter = [_cos(vecs[i], vecs[j]) for i in a for j in b]
+    assert np.mean(intra) > np.mean(inter)
 
 
 def test_ann_operator_consumes_output(spark):

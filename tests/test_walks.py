@@ -548,7 +548,8 @@ def test_n2v_weighted_deterministic_and_valid(spark):
 def test_walk_plans_pure_jvm(spark):
     """ranked_adjacency and skipgram_pairs stay entirely JVM-side; the
     only Python node anywhere in the walk family is alias_tables'
-    Arrow FlatMapGroupsInPandas."""
+    Arrow partition kernel (MapInPandas — vectorized over whole
+    partitions, never a per-vertex group map)."""
     edges = datagen.edges_df(spark, PAIRS)
     adj_plan = ranked_adjacency(edges)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in adj_plan
@@ -557,5 +558,34 @@ def test_walk_plans_pure_jvm(spark):
     sg_plan = skipgram_pairs(corpus)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in sg_plan
     alias_plan = alias_tables(edges)._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in alias_plan  # Arrow group map only
-    assert "FlatMapGroupsInPandas" in alias_plan
+    assert "BatchEvalPython" not in alias_plan  # Arrow map only
+    assert "FlatMapGroupsInPandas" not in alias_plan  # no per-vertex groups
+    assert "MapInPandas" in alias_plan
+
+
+def test_alias_tables_hub_vectorized(spark):
+    """A 10^5-degree weighted hub builds through the vectorized
+    partition kernel in seconds (the former per-element Python loop
+    took minutes at this degree) and keeps the exact Walker marginal
+    on spot-checked spokes."""
+    import numpy as np
+    import pandas as pd
+
+    n = 100_000
+    pdf = pd.DataFrame({
+        "src": np.zeros(n, dtype=np.int64),
+        "dst": np.arange(1, n + 1, dtype=np.int64),
+        "weight": (np.arange(n) % 97 + 1).astype("float64"),
+    })
+    edges = spark.createDataFrame(pdf)
+    tab = alias_tables(edges).filter("src = 0").collect()
+    assert len(tab) == n
+    w = pdf["weight"].to_numpy()
+    total = w.sum()
+    marg = np.zeros(n + 2)
+    for r in tab:
+        marg[r["dst"]] += r["prob"] / n
+        marg[r["alias_dst"]] += (1.0 - r["prob"]) / n
+    want = np.zeros(n + 2)
+    want[1:n + 1] = w / total
+    assert np.allclose(marg, want, atol=1e-9)
