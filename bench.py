@@ -94,12 +94,22 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # distributed superstep kernel, measured separately at the same SF so
     # the r01/r02 trend line stays comparable and the north metric is
     # evidenced on the path a >LOCAL_PR_MAX_EDGES graph actually runs
-    # (scaling.py benches it at 96M edges for the efficiency criterion)
-    s0, t0 = _steal(), time.monotonic()
-    res_d = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100,
-                     strategy="broadcast", assume_canonical=True)
-    prd_wall = time.monotonic() - t0
-    steals["pagerank_distributed"] = _steal() - s0
+    # (scaling.py benches it at 96M edges for the efficiency criterion).
+    # Steal-aware min-of-repeats (round 5, same protocol as
+    # files_pipeline below): the r04 one-shot number absorbed 332 steal
+    # jiffies over an 89-superstep window — contention, not engine.
+    prd_walls, prd_steals = [], []
+    res_d = None
+    for rep in range(3):
+        s0, t0 = _steal(), time.monotonic()
+        res_d = pagerank(spark, edges, tol=1e-6, weighted=True, max_iter=100,
+                         strategy="broadcast", assume_canonical=True)
+        prd_walls.append(round(time.monotonic() - t0, 3))
+        prd_steals.append(_steal() - s0)
+        if rep >= 1 and min(prd_steals) < 100:
+            break
+    prd_wall = min(prd_walls)
+    steals["pagerank_distributed"] = prd_steals[prd_walls.index(prd_wall)]
     edges_per_sec_d = (
         (2 * n_edges * res_d.supersteps) / prd_wall if prd_wall else 0.0
     )
@@ -213,6 +223,17 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             edges, num_walks=1, walk_length=10, seed=42, assume_canonical=True
         ).count(),
     )
+    # weighted corpus (round 5): same walk shape through the Walker
+    # alias tables — the vectorized partition-kernel build (graph/
+    # walks.py::_alias_build_kernel) plus the per-step alias coin; the
+    # VERDICT r4 criterion is wall within ~1.5x the unweighted line
+    timed(
+        "walks_weighted",
+        lambda: random_walks(
+            edges, num_walks=1, walk_length=10, seed=42,
+            assume_canonical=True, weighted=True,
+        ).count(),
+    )
     # node2vec biased corpus: reported as its own section (like
     # hyperball/files_pipeline) so the headline total stays comparable
     # across rounds; p<1 is the return-biased (structural) regime, and
@@ -263,10 +284,13 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     # the 100x-scale half of each adaptive operator, not just the sf0.1
     # local kernels. Full protocol + analysis: BENCH/BASELINE.md.
     dist_summary = None
-    dist_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "distributed_r04.json"
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    cands = sorted(
+        f for f in (os.listdir(bench_dir) if os.path.isdir(bench_dir) else [])
+        if f.startswith("distributed_r") and f.endswith(".json")
     )
-    if os.path.exists(dist_path):
+    dist_path = os.path.join(bench_dir, cands[-1]) if cands else ""
+    if dist_path and os.path.exists(dist_path):
         with open(dist_path) as f:
             d = json.load(f)
         dist_summary = {

@@ -107,6 +107,119 @@ def _round_step(prev: DataFrame):
     return stepped, [large, mins]
 
 
+PRE_CONTRACT_MIN_EDGES = 1_000_000
+"""Distinct-edge count above which the distributed path runs hash-to-min
+pre-contraction rounds before the star loop (``pre_contract=None``
+auto). Below it the star loop alone is cheaper than the contraction's
+fixed costs; the bound coincides with LOCAL_CC_MAX_EDGES, so on the
+default auto path every distributed run is also a pre-contracted run."""
+
+PRE_CONTRACT_MAX_ROUNDS = 16
+"""Hash-to-min round cap before contraction. Each round moves only the
+|V|-row label table against the cached pre-partitioned symmetric edge
+table (the PageRank superstep shape — measured 14.6M edges/s vs the
+star rounds' 108k/s at 11M edges, BENCH/distributed_r04.json): ~1.1s
+per round at 11M edges, while each round contracts minima one more hop
+out — anchors 137k @ 3 rounds -> 3.5k @ 6 on the 11M ER bench graph,
+contracted edges 8.3M -> 263k. The loop stops early when label churn
+stalls (see ``_min_label_contract``); the cap only bounds
+pathological long-chain graphs, whose closure the star loop finishes
+in O(log n) rounds regardless."""
+
+
+def _min_label_contract(
+    edges: DataFrame, max_rounds: int = PRE_CONTRACT_MAX_ROUNDS
+):
+    """Hash-to-min pre-contraction (the two-phase trick of Kiveris et
+    al. §3: alternate cheap label propagation with graph contraction).
+
+    Iterates ``l(v) <- min(l(v), min_{u∈N(v)} l(u))`` over the
+    SYMMETRIC edge table cached pre-partitioned+pre-sorted on the join
+    key — only the |V|-row label table shuffles per round — until
+    label churn stalls (changed labels <= max(1024, |V|/256); an extra
+    round costs ~1/round of the cheap shape while shrinking the star
+    loop's input by ~an average-degree factor) or ``max_rounds``. Then
+    the edge set is contracted through the labels: ``(l(src),
+    l(dst))``, deduped, self-loops dropped. Anchors are real vertex
+    ids with ``anchor(v) <= v`` and the component's min vertex
+    anchoring itself, so min-anchor == min-member and the star loop's
+    root ids stay exact after composition.
+
+    Returns ``(anchors, contracted)``: anchors =
+    DataFrame[src, l] covering every vertex of the non-loop edge set
+    (an eager localCheckpoint the CALLER must release once the final
+    labels are materialized); contracted = eager-checkpointed distinct
+    non-loop anchor-space edges."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    # round 1 rides the by-dst cache partitioning: min in-neighbor per
+    # dst == min neighbor per vertex on a symmetric table
+    labels = (
+        sym.groupBy(F.col("dst").alias("src"))
+        .agg(F.min("src").alias("_m"))
+        .select("src", F.least("src", "_m").alias("l"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        n_v = labels.count()  # scan of the fresh checkpoint, no shuffle
+        stall = max(1024, n_v // 256)
+        # systolic frontier (the hyperball discipline): labels only
+        # ever DECREASE, so a label needs re-sending to neighbors only
+        # in the round after it changed — round 2 sends everything
+        # (round 1's labels are all fresh), later rounds' message side
+        # shrinks with the churn, which is what lets the loop run to a
+        # near-fixpoint instead of stopping at 3 fixed rounds
+        delta = labels
+        for _ in range(max_rounds - 1):
+            lab = delta.select(F.col("src").alias("_d"), F.col("l"))
+            m = (
+                sym.join(lab, sym.dst == F.col("_d"))
+                .groupBy("src")
+                .agg(F.min("l").alias("_ml"))
+            )
+            # the checkpoint carries the previous label as _old so the
+            # churn probe and next frontier are scans of the block just
+            # materialized; consumers project (src, l) off it lazily
+            new = (
+                labels.select("src", "l").join(m, "src", "left")
+                .select(
+                    "src",
+                    F.col("l").alias("_old"),
+                    F.least("l", F.coalesce("_ml", F.col("l"))).alias("l"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new.filter(F.col("_old") != F.col("l")).count()
+            labels.unpersist()
+            labels = new
+            delta = new.filter(F.col("_old") != F.col("l"))
+            if changed <= stall:
+                break
+        a_src = labels.select(F.col("src"), F.col("l").alias("_ls"))
+        a_dst = labels.select(
+            F.col("src").alias("dst"), F.col("l").alias("_ld")
+        )
+        contracted = (
+            edges.select("src", "dst")
+            .join(a_src, "src")
+            .join(a_dst, "dst")
+            .select(F.col("_ls").alias("src"), F.col("_ld").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        return labels, contracted
+    finally:
+        sym.unpersist()
+
+
 def _edge_sketch(df: DataFrame):
     """(rows, xxhash64-sum) of a distinct edge set — one agg job.
 
@@ -251,8 +364,21 @@ def connected_components(
     encode: bool | None = None,
     local: bool | None = None,
     assume_canonical: bool = False,
+    pre_contract: bool | None = None,
 ) -> DataFrame:
     """DataFrame[id, component] with component = min member id.
+
+    ``pre_contract`` (auto-path distributed runs only; ``None`` = auto
+    above ``PRE_CONTRACT_MIN_EDGES``): run adaptive
+    hash-to-min label rounds against the cached symmetric edge table —
+    only the |V|-row label table shuffles per round — then contract the
+    edge set through the labels before the star loop, and compose the
+    star roots back through the anchors afterwards. Labels are exactly
+    equal either way (min-anchor == min-member; parity-tested); the
+    star loop then closes a graph typically orders of magnitude
+    smaller. Skipped when ``run_dir`` is set (the resume manifest's
+    per-round state is star-round state; a resumable pre-phase would
+    change its semantics).
 
     ``assume_canonical``: the caller guarantees the input satisfies the
     ``derive_edges`` output contract (src < dst, one row per unordered
@@ -428,6 +554,45 @@ def connected_components(
     # CC (unlike PageRank's broadcast loop): measured at sf0.1, AQE off
     # is 2-10x worse here (the per-round joins need its runtime broadcast
     # conversion), and at scale its skew handling matters.
+    # hash-to-min pre-contraction (see the docstring): auto-path
+    # distributed runs only — the universe checkpoint backs the final
+    # vertex derivation and the manifest's star-round resume semantics
+    # stay untouched
+    anchors = None
+    if (
+        manifest is None
+        and universe is not None
+        and pinned_seed is None
+        and (
+            pre_contract is True
+            or (
+                pre_contract is None
+                and n_edges is not None
+                and n_edges > PRE_CONTRACT_MIN_EDGES
+            )
+        )
+    ):
+        anchors, contracted = _min_label_contract(prev)
+        # the contracted graph usually fits the local union-find gate
+        # (3.5k anchors / 263k contracted edges from 11M on the ER
+        # bench): one task closes it instead of ~5 distributed star
+        # rounds — the same adaptive principle as the top-level
+        # LOCAL_CC_MAX_EDGES gate, composed through the anchors
+        if contracted.count() <= LOCAL_CC_MAX_EDGES:
+            try:
+                out = _finish_labels(
+                    spark, _local_star_edges(contracted), edge_universe,
+                    vertices, vdict, universe, anchors,
+                )
+            finally:
+                contracted.unpersist()
+                anchors.unpersist()
+            out._cwcd_n_edges = n_edges
+            return out
+        prev = contracted
+        pinned_seed = contracted  # released by the loop like the expert seed
+        prev_sketch = _edge_sketch(contracted)
+
     sp_key = "spark.sql.shuffle.partitions"
     sp_before = spark.conf.get(sp_key)
     resized = False
@@ -443,8 +608,12 @@ def connected_components(
         out = _cc_loop(
             spark, prev, prev_sketch, edge_universe, vertices, vdict,
             manifest, start_k, max_iter, strict, pinned_seed, universe,
+            anchors,
         )
     finally:
+        if anchors is not None:
+            # out is eagerly pinned on this path (universe not None)
+            anchors.unpersist()
         if resized:
             spark.conf.set(sp_key, sp_before)
     # private hint for composing operators (e.g. the community rollup):
@@ -468,6 +637,7 @@ def _cc_loop(
     strict: bool,
     pinned_seed: DataFrame | None,
     universe: DataFrame | None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     delta = None
     for k in range(start_k, max_iter):
@@ -521,7 +691,9 @@ def _cc_loop(
             f"({max_iter}); raise max_iter (resume supported via run_dir) "
             f"or pass strict=False for best-effort labels"
         )
-    out = _finish_labels(spark, prev, edge_universe, vertices, vdict, universe)
+    out = _finish_labels(
+        spark, prev, edge_universe, vertices, vdict, universe, anchors
+    )
     if universe is not None and manifest is None:
         # out is materialized (auto path pins eagerly) — the final
         # round's localCheckpoint can be released too (no-op when the
@@ -537,13 +709,17 @@ def _finish_labels(
     vertices: DataFrame | None,
     vdict: DataFrame | None,
     universe: DataFrame | None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Derive + decode the labels; on the auto path (pinned universe)
     pin the result eagerly — while any loop-scoped right-sized shuffle
     width is still in force — and release the universe checkpoint. The
     expert path (universe None) returns a lazy plan over the caller's
     edge expression, as before."""
-    out = _decode_labels(_labels_from_stars(spark, stars, edge_universe, vertices), vdict)
+    out = _decode_labels(
+        _labels_from_stars(spark, stars, edge_universe, vertices, anchors),
+        vdict,
+    )
     if universe is not None:
         if vdict is None:
             # the encoded path already pinned inside _decode_labels
@@ -557,9 +733,25 @@ def _labels_from_stars(
     stars: DataFrame,
     original_edges: DataFrame,
     vertices: DataFrame | None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
-    """Star edges (v, root) -> (id, component); roots + isolated = self."""
+    """Star edges (v, root) -> (id, component); roots + isolated = self.
+
+    With ``anchors`` (the pre-contraction assignment, vertex -> anchor)
+    the stars live in ANCHOR space: each vertex's component is its
+    anchor's star root (or the anchor itself when the anchor is a
+    root). Anchor ids are real vertex ids with min-anchor == min-member,
+    so the composed roots equal the uncontracted run's exactly."""
     members = stars.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    if anchors is not None:
+        members = (
+            anchors.join(members, anchors.l == members.id, "left")
+            .select(
+                anchors.src.alias("id"),
+                F.coalesce("component", F.col("l")).alias("component"),
+            )
+            .filter(F.col("id") != F.col("component"))
+        )
     all_vertices = (
         original_edges.select(F.col("src").alias("id"))
         .unionByName(original_edges.select(F.col("dst").alias("id")))

@@ -27,6 +27,51 @@ def test_cc_matches_networkx(spark, name, local):
     assert got == nx_components(pairs)
 
 
+@pytest.mark.parametrize("name", sorted(SHAPES))
+def test_cc_pre_contracted_matches_networkx(spark, name):
+    """The hash-to-min pre-contraction phase (forced below its auto
+    size gate) + star loop + anchor composition produces exactly the
+    oracle labels on every shape — including `disconnected` (multiple
+    components) and `ring` (diameter > the pre-rounds, so the
+    star loop genuinely finishes the closure the pre-phase left
+    incomplete)."""
+    pairs = SHAPES[name]
+    edges = datagen.edges_df(spark, pairs)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark, edges, local=False, pre_contract=True
+        ).collect()
+    }
+    assert got == nx_components(pairs)
+
+
+def test_cc_pre_contracted_strings_and_isolated(spark):
+    """Pre-contraction on string keys + isolated vertices: labels equal
+    the plain distributed run's bit for bit."""
+    pairs = datagen.gen_wallet_pairs_pdf(n_components=4, seed=23)
+    edges = spark.createDataFrame(
+        pairs.rename(columns={"from_address": "src", "to_address": "dst"}),
+        schema="src string, dst string",
+    )
+    verts = spark.createDataFrame([("zzz_isolated",)], "id string")
+    kw = dict(vertices=verts, local=False)
+    plain = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark, edges, pre_contract=False, **kw
+        ).collect()
+    }
+    pre = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            spark, edges, pre_contract=True, **kw
+        ).collect()
+    }
+    assert pre == plain
+    assert pre["zzz_isolated"] == "zzz_isolated"
+
+
 def test_cc_reference_fixture(spark, reference_pairs_pdf):
     pairs = list(
         reference_pairs_pdf.itertuples(index=False, name=None)
