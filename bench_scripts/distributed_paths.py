@@ -23,7 +23,7 @@ one-off amortized at 100 TB while the superstep kernel is the recurring
 cost; one-shot operators report full-call walls.
 
 Appends a section to BENCH/BASELINE.md and writes
-BENCH/distributed_r04.json. Runtime ~30-45 min at local[32].
+BENCH/distributed_r05.json (round-5 rerun; env DP_ROUND). Runtime ~30-45 min at local[32].
 """
 
 from __future__ import annotations
@@ -39,6 +39,7 @@ sys.path.insert(0, REPO)
 
 E_RAW = int(os.environ.get("DP_E_RAW", 11_000_000))
 REPEATS = int(os.environ.get("DP_REPEATS", 3))
+ROUND = os.environ.get("DP_ROUND", "05")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
 PR_STEPS = 10
 LPA_STEPS = 4
@@ -78,7 +79,7 @@ def main() -> None:
     )
 
     spark = build_session(
-        app_name="distributed-paths-r04",
+        app_name=f"distributed-paths-r{ROUND}",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
     )
@@ -275,7 +276,7 @@ def main() -> None:
     }
     log(f"ppr wall={ppr_wall}s median_step={med_p:.2f}s")
 
-    with open(os.path.join(REPO, "BENCH", "distributed_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"distributed_r{ROUND}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print("RESULT " + json.dumps(out))
 
