@@ -43,6 +43,26 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
     timings: dict[str, float] = {}
     steals: dict[str, int] = {}
 
+    def _membw_canary() -> float:
+        # single-thread STREAM-triad GB/s (~0.3s). Steal jiffies only
+        # see CPU preemption; a bandwidth-hungry neighbor tenant slows
+        # this box with ZERO steal (observed round 5: contiguous 2-5x
+        # query inflations at steal<=3). Healthy ~19 GB/s on this host
+        # (BENCH/membw_control_r05.json P=1); a depressed canary marks
+        # the window as bandwidth-contended.
+        import numpy as np
+
+        n = 20_000_000
+        b = np.full(n, 1.000001)
+        c = np.full(n, 2.0)
+        a = np.empty(n)
+        np.multiply(b, 1.5, out=a)
+        a += c
+        t0 = time.monotonic()
+        np.multiply(b, 1.5, out=a)
+        a += c
+        return round(n * 24 * 2 / (time.monotonic() - t0) / 1e9, 1)
+
     def _steal() -> int:
         # /proc/stat cpu line field 8: hypervisor steal jiffies. This
         # sandbox is a shared-host microVM with bursty steal; recording
@@ -61,6 +81,8 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
         timings[name] = round(time.monotonic() - t0, 3)
         steals[name] = _steal() - s0
         return out
+
+    membw = {"start": _membw_canary()}
 
     # headline: derive the SF-scaling bipartite edge table once, persist,
     # run PageRank to 1e-6 (the BASELINE.json metric kernel)
@@ -315,11 +337,15 @@ def run_bench(sf_dir: str, cpus: int, quiet: bool = True) -> dict:
             },
         }
 
+    membw["mid"] = _membw_canary()
     return {
         "metric": "headline_queries_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "membw_canary_gbps": membw,  # single-thread triad GB/s; healthy
+        # ~19 on this host — a depressed value marks the run window as
+        # DRAM-contended by a neighbor tenant (invisible to steal)
         "steal_jiffies": steals,  # hypervisor steal per measurement window
         # (shared-host microVM; >> ~100/s of wall means the wall measured
         # a neighbor tenant — compare against the fresh-JVM repeats in

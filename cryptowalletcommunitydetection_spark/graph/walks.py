@@ -130,9 +130,17 @@ adjacency build+layout, so above this bound the broadcast strategy's
 cached-adjacency scan wins."""
 
 
-def _walk_marked_stream(adj, walkers, weighted, ranked):
+def _walk_marked_stream(adj, walkers, weighted, ranked, raw_weight=False):
     """Pack adjacency + walker rows into ONE unioned stream for a
     single-task replay kernel (``walk_id`` null = adjacency row).
+
+    ``raw_weight=True`` ships the RAW edge weight in the ``prob`` slot
+    (``alias_dst`` rides null) and the kernel builds the Walker alias
+    arrays itself via ``_alias_core`` — the same vectorized
+    construction the Spark-side build runs, on the same dst-sorted
+    segment order, so (prob, alias) come out bit-identical while the
+    local path skips the build's repartition/sort/degree-join plan
+    entirely (the former weighted-local prep cost).
 
     Column encodings are all Arrow-hazard-driven (shared by both
     kernels; measured in BENCH/BASELINE.md):
@@ -168,18 +176,33 @@ def _walk_marked_stream(adj, walkers, weighted, ranked):
         StructField("start", id_type),
         StructField("seq", ArrayType(id_type)),
     ])
+    # raw_weight ships no alias_dst at all (the kernel derives the
+    # alias arrays itself) — one less Arrow column per adjacency row
+    alias_a = (
+        []
+        if raw_weight
+        else [(
+            F.col("alias_dst").cast(ship_t)
+            if weighted
+            else F.lit(None).cast(ship_t)
+        ).alias("alias_dst")]
+    )
+    alias_w = (
+        [] if raw_weight
+        else [F.lit(None).cast(ship_t).alias("alias_dst")]
+    )
     a = adj.select(
         "src",
         F.col("dst").cast(ship_t).alias("dst"),
         (
             F.col("rank").cast("long") if ranked else F.lit(None).cast("long")
         ).alias("rank"),
-        (F.col("prob") if weighted else F.lit(None).cast("double")).alias("prob"),
         (
-            F.col("alias_dst").cast(ship_t)
-            if weighted
-            else F.lit(None).cast(ship_t)
-        ).alias("alias_dst"),
+            F.col("weight").cast("double")
+            if raw_weight
+            else (F.col("prob") if weighted else F.lit(None).cast("double"))
+        ).alias("prob"),
+        *alias_a,
         F.lit(None).cast("string").alias("walk_id"),
         F.lit(None).cast("string").alias("base"),
     )
@@ -188,14 +211,15 @@ def _walk_marked_stream(adj, walkers, weighted, ranked):
         F.lit(None).cast(ship_t).alias("dst"),
         F.lit(None).cast("long").alias("rank"),
         F.lit(None).cast("double").alias("prob"),
-        F.lit(None).cast(ship_t).alias("alias_dst"),
+        *alias_w,
         "walk_id",
         F.col("base").cast("string").alias("base"),
     )
     return a.unionByName(w), out_schema, int_ids
 
 
-def _decode_walk_stream(batches, weighted, ranked, int_ids):
+def _decode_walk_stream(batches, weighted, ranked, int_ids,
+                        raw_weight=False):
     """Kernel-side decode of a ``_walk_marked_stream`` batch iterator
     into the CSR + walker arrays both replay kernels consume.
 
@@ -228,7 +252,8 @@ def _decode_walk_stream(batches, weighted, ranked, int_ids):
                 a_rank.append(arows["rank"].to_numpy(dtype=np.int64))
             if weighted:
                 a_prob.append(arows["prob"].to_numpy(dtype=np.float64))
-                a_alias.append(_ids(arows["alias_dst"]))
+                if not raw_weight:
+                    a_alias.append(_ids(arows["alias_dst"]))
         wrows = pdf.loc[isw]
         if len(wrows):
             k_id.append(wrows["walk_id"].to_numpy())
@@ -241,9 +266,11 @@ def _decode_walk_stream(batches, weighted, ranked, int_ids):
     src = np.concatenate(a_src)
     dst = np.concatenate(a_dst)
     rank = np.concatenate(a_rank) if ranked else None
-    alias = np.concatenate(a_alias) if weighted else None
+    alias = (
+        np.concatenate(a_alias) if weighted and not raw_weight else None
+    )
     starts = np.concatenate(k_start)
-    parts = [src, dst] + ([alias] if weighted else []) + [starts]
+    parts = [src, dst] + ([alias] if alias is not None else []) + [starts]
     keys = np.concatenate(parts)
     # id-sorted dense codes (the pagerank-kernel indexing pattern);
     # sorted order doubles as the implicit rank order when ranked=False
@@ -261,7 +288,7 @@ def _decode_walk_stream(batches, weighted, ranked, int_ids):
     dst_i = inv[n_e:2 * n_e]
     off = 2 * n_e
     alias_i = None
-    if weighted:
+    if alias is not None:
         alias_i = inv[off:off + n_e]
         off += n_e
     start_i = inv[off:]
@@ -274,11 +301,22 @@ def _decode_walk_stream(batches, weighted, ranked, int_ids):
     dst_s = dst_i[order]
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(deg, out=offsets[1:])
-    out = {
-        "ids": ids, "deg": deg, "offsets": offsets, "dst_s": dst_s,
-        "prob_s": np.concatenate(a_prob)[order] if weighted else None,
-        "alias_s": alias_i[order] if weighted else None,
-    }
+    if weighted and raw_weight:
+        # in-kernel Walker build: same vectorized construction, same
+        # dst-sorted segment order as the Spark-side build -> the
+        # (prob, alias) arrays are bit-identical (parity test-pinned)
+        w_s = np.concatenate(a_prob)[order]
+        prob_s, alias_rows, _ = _alias_core(src_i[order], w_s)
+        out = {
+            "ids": ids, "deg": deg, "offsets": offsets, "dst_s": dst_s,
+            "prob_s": prob_s, "alias_s": dst_s[alias_rows],
+        }
+    else:
+        out = {
+            "ids": ids, "deg": deg, "offsets": offsets, "dst_s": dst_s,
+            "prob_s": np.concatenate(a_prob)[order] if weighted else None,
+            "alias_s": alias_i[order] if weighted else None,
+        }
     ok = deg[start_i] > 0
     out["wid"] = np.concatenate(k_id)[ok]
     out["base"] = np.concatenate(k_base)[ok].view(np.uint64)
@@ -316,6 +354,7 @@ def _local_random_walks(
     walk_length: int,
     seed: int,
     ranked: bool = True,
+    raw_weight: bool = False,
 ):
     """Single-task corpus replay over the (small) adjacency table.
 
@@ -339,7 +378,7 @@ def _local_random_walks(
     nothing shuffles.
     """
     marked, out_schema, int_ids = _walk_marked_stream(
-        adj, walkers, weighted, ranked
+        adj, walkers, weighted, ranked, raw_weight=raw_weight
     )
 
     def kernel(batches):
@@ -352,7 +391,9 @@ def _local_random_walks(
             pmod_u64,
         )
 
-        g = _decode_walk_stream(batches, weighted, ranked, int_ids)
+        g = _decode_walk_stream(
+            batches, weighted, ranked, int_ids, raw_weight=raw_weight
+        )
         if g is None:
             yield _empty_corpus()
             return
@@ -401,6 +442,7 @@ def _local_node2vec_walks(
     w_far: float,
     max_attempts: int,
     ranked: bool = True,
+    raw_weight: bool = False,
 ):
     """Single-task replay of the node2vec rejection-sampling rounds.
 
@@ -424,7 +466,7 @@ def _local_node2vec_walks(
     through the alias coin ('alias' channel) before acceptance.
     """
     marked, out_schema, int_ids = _walk_marked_stream(
-        adj, walkers, weighted, ranked
+        adj, walkers, weighted, ranked, raw_weight=raw_weight
     )
     w_max_k = max(w_ret, w_stay, w_far)
 
@@ -438,7 +480,9 @@ def _local_node2vec_walks(
             pmod_u64,
         )
 
-        g = _decode_walk_stream(batches, weighted, ranked, int_ids)
+        g = _decode_walk_stream(
+            batches, weighted, ranked, int_ids, raw_weight=raw_weight
+        )
         if g is None:
             yield _empty_corpus()
             return
@@ -551,30 +595,27 @@ def ranked_adjacency(edges: DataFrame, assume_canonical: bool = False) -> DataFr
     )
 
 
-def _alias_build_kernel(batches):
-    """Partition kernel for ``alias_tables``: rows arrive sorted by
-    (src, dst) with every src's rows co-located; emits one alias-table
-    row per input row. Fully vectorized — segmented prefix sums over
-    the partition, merged-order rank counts (lexsort + cumsum) for the
-    two cross-stream lookups; no per-element Python. Construction math
-    in the ``alias_tables`` docstring; the invariant is pinned
-    numerically by tests/test_walks.py::test_alias_tables_exact_marginals."""
-    import numpy as np
-    import pandas as pd
+def _alias_core(seg_keys, w):
+    """Vectorized Walker alias construction over segment-grouped rows.
 
-    pdfs = [p for p in batches if len(p)]
-    if not pdfs:
-        return
-    pdf = pd.concat(pdfs, ignore_index=True)
-    src = pdf["src"].to_numpy()
-    dst = pdf["dst"].to_numpy()
-    w = pdf["weight"].to_numpy(dtype="float64")
+    ``seg_keys``: any array whose equal runs delimit the per-vertex
+    segments (rows MUST be grouped by vertex, in final rank order —
+    dst order — within each segment); ``w``: float64 weights. Returns
+    ``(prob, alias_row, rank)`` where ``alias_row`` indexes into the
+    SAME row space. Shared bit-for-bit by the Spark-side partition
+    builder (``_alias_build_kernel``) and the replay kernels'
+    in-kernel build (``_decode_walk_stream`` raw_weight mode) — same
+    formulas, same in-segment order, so both sides produce identical
+    tables (parity test-pinned). Construction math in the
+    ``alias_tables`` docstring."""
+    import numpy as np
+
     if np.any(w < 0):
         raise ValueError("alias_tables: negative edge weight")
-    n = len(src)
+    n = len(w)
     new_seg = np.empty(n, dtype=bool)
     new_seg[0] = True
-    new_seg[1:] = src[1:] != src[:-1]
+    new_seg[1:] = seg_keys[1:] != seg_keys[:-1]
     seg = np.cumsum(new_seg) - 1            # dense per-vertex segment id
     seg_start = np.flatnonzero(new_seg)
     seg_len = np.diff(np.r_[seg_start, n])  # K per vertex
@@ -601,28 +642,6 @@ def _alias_build_kernel(batches):
             offs = np.concatenate(([0.0], c[first[1:] - 1]))
             return c - offs[np.cumsum(nf) - 1]
 
-        def rank_count(a_seg, a_val, a_tie, b_seg, b_val, b_tie):
-            # for each A element: #B elements in the same segment
-            # sorting strictly before it in (value, tie) order
-            segs = np.concatenate([a_seg, b_seg])
-            vals = np.concatenate([a_val, b_val])
-            ties = np.concatenate([a_tie, b_tie])
-            isb = np.concatenate(
-                [np.zeros(len(a_seg), dtype=np.int64),
-                 np.ones(len(b_seg), dtype=np.int64)]
-            )
-            order = np.lexsort((ties, vals, segs))
-            isb_s = isb[order]
-            segs_s = segs[order]
-            csum = np.cumsum(isb_s)
-            nf = np.r_[True, segs_s[1:] != segs_s[:-1]]
-            first = np.flatnonzero(nf)
-            base = np.concatenate(([0], csum[first[1:] - 1]))
-            before = csum - isb_s - base[np.cumsum(nf) - 1]
-            out = np.empty(len(segs), dtype=np.int64)
-            out[order] = before
-            return out[: len(a_seg)]
-
         d = 1.0 - scaled[li]
         D_inc = seg_cum(d, seg[li])
         D_exc = D_inc - d
@@ -632,22 +651,47 @@ def _alias_build_kernel(batches):
         h_first = np.r_[0, np.cumsum(h_cnt)][:-1]  # seg -> first idx in hv
         l_first = np.r_[0, np.cumsum(l_cnt)][:-1]
 
-        z_l = np.zeros(len(li), dtype=np.int64)
-        o_h = np.ones(len(hv), dtype=np.int64)
-        # light i's donor = first heavy with S >= D_exc (ties current,
-        # so a tied heavy must NOT count as "before": heavy tie sorts
-        # after light tie)
-        j_ord = rank_count(seg[li], D_exc, z_l, seg[hv], S_inc, o_h)
+        # BOTH cross-stream lookups from ONE merged segment-order sort
+        # (entries: light D_exc / light D_inc / heavy S; light entries
+        # sort before a tied heavy, so "S strictly < D_exc" and
+        # "D_inc <= S" both fall out of plain before-counts):
+        # - donor of light i = first heavy with S >= D_exc
+        #   = # S entries before its D_exc entry
+        # - heavy j finalizes at the first light with D_inc > S_j
+        #   = # D_inc entries before its S entry
+        n_l, n_h = len(li), len(hv)
+        segs_m = np.concatenate([seg[li], seg[li], seg[hv]])
+        vals_m = np.concatenate([D_exc, D_inc, S_inc])
+        kind_m = np.concatenate([
+            np.zeros(n_l, dtype=np.int8),
+            np.ones(n_l, dtype=np.int8),
+            np.full(n_h, 2, dtype=np.int8),
+        ])
+        ties_m = (kind_m == 2).view(np.int8)  # lights 0, heavies 1
+        order = np.lexsort((ties_m, vals_m, segs_m))
+        k_s = kind_m[order]
+        segs_s = segs_m[order]
+        is_S = (k_s == 2).astype(np.int64)
+        is_Di = (k_s == 1).astype(np.int64)
+        cS = np.cumsum(is_S)
+        cD = np.cumsum(is_Di)
+        nf = np.r_[True, segs_s[1:] != segs_s[:-1]]
+        first = np.flatnonzero(nf)
+        baseS = np.concatenate(([0], cS[first[1:] - 1]))
+        baseD = np.concatenate(([0], cD[first[1:] - 1]))
+        segloc = np.cumsum(nf) - 1
+        S_before = cS - is_S - baseS[segloc]
+        D_before = cD - is_Di - baseD[segloc]
+        inv_o = np.empty(len(order), dtype=np.int64)
+        inv_o[order] = np.arange(len(order))
+        j_ord = S_before[inv_o[:n_l]]
+        i_ord = D_before[inv_o[2 * n_l:]]
+
         okl = h_cnt[seg[li]] > 0  # float-noise all-light segments: self
         li_ok = li[okl]
         j_ok = np.minimum(j_ord[okl], h_cnt[seg[li_ok]] - 1)  # noise clip
         prob[li_ok] = scaled[li_ok]
         alias_row[li_ok] = hv[h_first[seg[li_ok]] + j_ok]
-
-        # heavy j finalizes at the first light with D > S_j (ties keep
-        # it alive: D <= S counts as before): retains 1 + S_j - D_{i*},
-        # aliased to the segment's next heavy
-        i_ord = rank_count(seg[hv], S_inc, o_h, seg[li], D_inc, z_l)
         hv_rank = np.arange(len(hv), dtype=np.int64) - h_first[seg[hv]]
         fin = (i_ord < l_cnt[seg[hv]]) & (hv_rank + 1 < h_cnt[seg[hv]])
         fi = np.flatnonzero(fin)
@@ -655,6 +699,28 @@ def _alias_build_kernel(batches):
             D_star = D_inc[l_first[seg[hv[fi]]] + i_ord[fi]]
             prob[hv[fi]] = np.clip(1.0 + S_inc[fi] - D_star, 0.0, 1.0)
             alias_row[hv[fi]] = hv[fi + 1]
+    return prob, alias_row, rank
+
+
+def _alias_build_kernel(batches):
+    """Partition kernel for ``alias_tables``: rows arrive sorted by
+    (src, dst) with every src's rows co-located; emits one alias-table
+    row per input row. Fully vectorized (``_alias_core``: segmented
+    prefix sums + merged-order rank counts, no per-element Python);
+    the invariant is pinned numerically by
+    tests/test_walks.py::test_alias_tables_exact_marginals."""
+    import numpy as np
+    import pandas as pd
+
+    pdfs = [p for p in batches if len(p)]
+    if not pdfs:
+        return
+    pdf = pd.concat(pdfs, ignore_index=True)
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    w = pdf["weight"].to_numpy(dtype="float64")
+    n = len(src)
+    prob, alias_row, rank = _alias_core(src, w)
 
     out_rank = rank.astype("int32")
     alias_dst = dst[alias_row]
@@ -936,11 +1002,26 @@ def random_walks(
 
     if strategy == "local":
         try:
+            raw_w = False
             if not adj_owned:
                 kern_adj, ranked = adjacency, True
             elif weighted:
-                kern_adj, ranked = (
-                    alias_tables(canon, assume_canonical=True),
+                # raw symmetric weights; the kernel runs _alias_core
+                # itself — skips the builder's repartition/sort/
+                # degree-join plan (measured: the bulk of the former
+                # weighted-local prep at sf0.1)
+                wcanon = canon
+                if "weight" not in wcanon.columns:
+                    wcanon = wcanon.withColumn("weight", F.lit(1.0))
+                kern_adj, ranked, raw_w = (
+                    symmetrize(
+                        wcanon.select(
+                            "src", "dst",
+                            F.col("weight").cast("double").alias("weight"),
+                        ),
+                        weight=True,
+                    ),
+                    False,
                     True,
                 )
             else:
@@ -969,7 +1050,7 @@ def random_walks(
             )
             out = _local_random_walks(
                 kern_adj, walkers, weighted, walk_length, seed,
-                ranked=ranked,
+                ranked=ranked, raw_weight=raw_w,
             )
             return out.localCheckpoint(eager=True)
         finally:
@@ -1244,11 +1325,23 @@ def node2vec_walks(
 
     if strategy == "local":
         try:
+            raw_w = False
             if not adj_owned:
                 kern_adj, ranked = adjacency, True
             elif weighted:
-                kern_adj, ranked = (
-                    alias_tables(canon, assume_canonical=True),
+                # raw weights + in-kernel _alias_core (see random_walks)
+                wcanon = canon
+                if "weight" not in wcanon.columns:
+                    wcanon = wcanon.withColumn("weight", F.lit(1.0))
+                kern_adj, ranked, raw_w = (
+                    symmetrize(
+                        wcanon.select(
+                            "src", "dst",
+                            F.col("weight").cast("double").alias("weight"),
+                        ),
+                        weight=True,
+                    ),
+                    False,
                     True,
                 )
             else:
@@ -1277,6 +1370,7 @@ def node2vec_walks(
             out = _local_node2vec_walks(
                 kern_adj, walkers, weighted, walk_length, seed,
                 w_ret, w_stay, w_far, max_attempts, ranked=ranked,
+                raw_weight=raw_w,
             )
             return out.localCheckpoint(eager=True)
         finally:
