@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .functions.timeseries import sessionize
 from .graph.cc import connected_components
-from .graph.edges import cooccurrence_edges
+from .graph.edges import cooccurrence_edges, symmetrize
 from .graph.kcore import core_numbers
 from .graph.linkpred import link_prediction_scores
 from .graph.lpa import label_propagation
@@ -310,6 +310,7 @@ deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1),
 c0 AS MATERIALIZED (SELECT id, d AS core FROM deg),"""
         + ",".join(its)
         + _sssp_ctes(6)
+        + _brandes_ctes(6)
         + f""",
 dedges AS (SELECT CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.src ELSE e.dst END AS a,
                   CASE WHEN (ds.d, e.src) < (dd.d, e.dst) THEN e.dst ELSE e.src END AS b
@@ -324,12 +325,57 @@ SELECT deg.id, c{iters}.core::BIGINT AS core,
                   THEN 2.0 * coalesce(per.n, 0) / (deg.d * (deg.d - 1))
                   ELSE 0.0 END, 9) AS coeff,
        coalesce(ss6.d, -1)::INT AS dist_from_min,
+       round(coalesce(dep.dep, -1.0), 9) AS dep_from_min,
        round(3.0 * (SELECT count(*) FROM tri)
              / (SELECT sum(d * (d - 1) / 2.0) FROM deg), 9) AS transitivity
 FROM deg JOIN c{iters} ON deg.id = c{iters}.id
 LEFT JOIN per ON deg.id = per.id
 LEFT JOIN ss6 ON deg.id = ss6.u
+LEFT JOIN dep ON deg.id = dep.id
 """
+    )
+
+
+def _brandes_ctes(depth: int) -> str:
+    """Single-pivot Brandes as CTEs over the ss{depth} distance table:
+    forward sigma (shortest-path counts) level by level, then the
+    backward dependency sweep from the deepest level — the oracle twin
+    of graph/centrality.py::betweenness_from_sources for one source.
+    dep excludes the pivot row (engine contract)."""
+    sig = ["""
+sg0 AS MATERIALIZED (SELECT u AS id, 0 AS d, 1.0 AS sig FROM ss0)"""]
+    for k in range(1, depth + 1):
+        sig.append(f"""
+sg{k} AS MATERIALIZED (
+  SELECT * FROM sg{k - 1}
+  UNION ALL
+  SELECT t.u AS id, {k} AS d, sum(p.sig) AS sig
+  FROM sg{k - 1} p
+  JOIN sym s ON p.id = s.src AND p.d = {k - 1}
+  JOIN ss{depth} t ON t.u = s.dst AND t.d = {k}
+  GROUP BY t.u)""")
+    dl = [f"""
+dl{depth + 1} AS (SELECT NULL AS id, NULL::DOUBLE AS delta WHERE false)"""]
+    for k in range(depth, -1, -1):
+        dl.append(f"""
+dl{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(x.delta, 0.0) AS delta
+  FROM (SELECT id, sig FROM sg{depth} WHERE d = {k}) v
+  LEFT JOIN (
+    SELECT s.src AS id, sum(v2.sig / wsig.sig * (1.0 + w.delta)) AS delta
+    FROM dl{k + 1} w
+    JOIN sg{depth} wsig ON wsig.id = w.id AND wsig.d = {k + 1}
+    JOIN sym s ON s.dst = w.id
+    JOIN sg{depth} v2 ON v2.id = s.src AND v2.d = {k}
+    GROUP BY s.src) x ON x.id = v.id)""")
+    return (
+        "," + ",".join(sig) + "," + ",".join(dl)
+        + f""",
+dep AS (SELECT id, delta AS dep FROM ({' UNION ALL '.join(
+    f'SELECT id, delta FROM dl{k}' for k in range(1, depth + 1)
+)}
+    UNION ALL
+    SELECT id, 0.0 AS delta FROM sg{depth} WHERE d = 0))"""
     )
 
 
@@ -1496,15 +1542,49 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_pagerank_converged(spark, sf_dir):
-    """The headline operator: PageRank run to convergence (tol tight
-    enough that rounding to 5 decimals is stable against the DuckDB
-    recursive-CTE power iteration run far past convergence)."""
-    edges = _cooccur_edges(spark, sf_dir)
-    res = pagerank(
-        spark, edges, tol=1e-9, weighted=True, max_iter=400,
-        assume_canonical=True,
-    )
-    return res.ranks.select("id", F.round("rank", 5).alias("rank"))
+    """The headline operator: weighted PageRank run to convergence (tol
+    tight enough that rounding to 5 decimals is stable against the
+    DuckDB recursive-CTE power iteration run far past convergence) —
+    PLUS, round 5, the PERSONALIZED variant (teleport mass to the 4
+    smallest vertex ids, normalized — graph/pagerank.py's
+    `personalization=` seed-state channel, previously numpy-oracled
+    only) against a second recursive CTE whose teleport term follows
+    the seed vector. Both fixpoints are unique, so the oracle's
+    fixed-160-iteration power iterations converge to the same values
+    regardless of operation order; round(5) absorbs the float tails."""
+    edges = _cooccur_edges(spark, sf_dir).persist()
+    try:
+        res = pagerank(
+            spark, edges, tol=1e-9, weighted=True, max_iter=400,
+            assume_canonical=True,
+        )
+        uni = res.ranks.select(
+            F.lit("uniform").alias("variant"), "id",
+            F.round("rank", 5).alias("rank"),
+        )
+        seed_ids = [
+            r["id"]
+            for r in symmetrize(edges.select("src", "dst"), weight=False)
+            .select(F.col("src").alias("id")).distinct()
+            .orderBy("id").limit(4).collect()
+        ]
+        seeds = spark.createDataFrame(
+            [(int(i), 1.0) for i in seed_ids], "id long, weight double"
+        ).select(
+            F.col("id").cast(edges.schema["src"].dataType).alias("id"),
+            "weight",
+        )
+        res_p = pagerank(
+            spark, edges, tol=1e-9, weighted=True, max_iter=400,
+            assume_canonical=True, personalization=seeds,
+        )
+        per = res_p.ranks.select(
+            F.lit("seeded").alias("variant"), "id",
+            F.round("rank", 5).alias("rank"),
+        )
+        return uni.unionByName(per)
+    finally:
+        edges.unpersist()
 
 
 def q_files_edge_derivation(spark, sf_dir):
@@ -1514,7 +1594,7 @@ def q_files_edge_derivation(spark, sf_dir):
     re-derives the same edges with regexp_extract_all + a self-join.
     (The synthetic files-table path with the import-statement pattern
     keeps its pure-Python oracle in tests/test_edges.py.)"""
-    from .graph.edges import cooccurrence_edges, extract_entities
+    from .graph.edges import cooccurrence_edges, symmetrize, extract_entities
 
     corpus = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("repo"),
@@ -1599,15 +1679,20 @@ def q_graph_structure(spark, sf_dir):
     closing the r4 verdict's pytest-only list via column folds —
     BFS hop distance from the minimum vertex (graph/paths.py::
     multi_source_distances, the G14 frontier machinery; -1 =
-    unreachable) and the global transitivity scalar
+    unreachable), the single-pivot Brandes dependency
+    (graph/centrality.py::betweenness_from_sources, the G15 sampled
+    estimator's per-pivot term), and the global transitivity scalar
     (graph/triangles.py::transitivity) as a constant column. The
     oracle recomputes coreness with an unrolled H-index iteration, the
     coefficient from the triangle CTE, the distance from an unrolled
     single-source min-plus closure (diameter 4 at sf0.01; 6 rounds
-    with margin), and transitivity as 3T/#wedges. (HyperBall's
+    with margin), the dependency from unrolled forward-sigma +
+    backward-sweep levels over that closure, and transitivity as
+    3T/#wedges. (HyperBall's
     ball/harmonic stay pytest-oracled: its HLL union estimate is off
     by ~1% already at 100 distinct — it IS a sketch — so an
     exact-value gate would pin sketch bias, not engine correctness.)"""
+    from .graph.centrality import betweenness_from_sources
     from .graph.paths import multi_source_distances
     from .graph.triangles import transitivity
 
@@ -1624,15 +1709,26 @@ def q_graph_structure(spark, sf_dir):
         dist = multi_source_distances(
             spark, edges, seeds, assume_canonical=True
         )
+        # G15 single-pivot Brandes dependency (graph/centrality.py) —
+        # the oracle replays forward path counts + the backward sweep
+        # level by level; the pivot lists itself at 0.0 (reached, no
+        # dependency), -1.0 marks unreached vertices (rowless)
+        dep = betweenness_from_sources(
+            spark, edges, seeds, assume_canonical=True
+        )
         tr = transitivity(edges, assume_canonical=True)
         return (
             core.join(coeff, "id")
             .join(dist, "id", "left")
+            .join(dep, "id", "left")
             .select(
                 "id",
                 "core",
                 F.round("coeff", 9).alias("coeff"),
                 F.coalesce("dist", F.lit(-1)).cast("int").alias("dist_from_min"),
+                F.round(
+                    F.coalesce("betweenness", F.lit(-1.0)), 9
+                ).alias("dep_from_min"),
                 F.lit(round(tr, 9)).alias("transitivity"),
             )
         )
@@ -1995,13 +2091,18 @@ def _pagerank_recursive_sql(iters: int) -> str:
     unrolled-CTE form planner-explodes past ~40 iterations; the recursive
     working-table form runs 160 iterations in ~3s). The symmetrized
     co-occurrence graph has no dangling vertices, so the dangling-mass
-    term vanishes and every vertex receives a contribution each step."""
+    term vanishes and every vertex receives a contribution each step.
+    Round 5: a SECOND recursion (rp) powers the personalized variant —
+    identical update with the teleport term following the 4-seed
+    vector (0.25 each on the smallest ids; on this dangling-free graph
+    the dangling-to-seeds term vanishes too)."""
     return (
         "WITH RECURSIVE " + _COOCCUR_SQL + f""",
 sym AS (SELECT src, dst, weight FROM ce UNION ALL SELECT dst AS src, src AS dst, weight FROM ce),
 wsum AS (SELECT src AS id, sum(weight) AS ws FROM sym GROUP BY 1),
 v AS (SELECT DISTINCT src AS id FROM sym),
 nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+sd AS (SELECT id, 0.25 AS s FROM (SELECT id FROM v ORDER BY id LIMIT 4)),
 r AS (
   SELECT 0 AS k, id, (SELECT 1.0 / n FROM nn) AS rank FROM v
   UNION ALL
@@ -2012,8 +2113,22 @@ r AS (
     FROM r JOIN sym s ON s.src = r.id JOIN wsum w ON w.id = s.src
     WHERE r.k < {iters}
     GROUP BY r.k, s.dst)
+),
+rp AS (
+  SELECT 0 AS k, id, (SELECT 1.0 / n FROM nn) AS rank FROM v
+  UNION ALL
+  SELECT c.k + 1, c.dst AS id,
+         0.15 * coalesce(sd.s, 0.0) + 0.85 * c.contrib AS rank
+  FROM (
+    SELECT rp.k AS k, s.dst, sum(rp.rank * s.weight / w.ws) AS contrib
+    FROM rp JOIN sym s ON s.src = rp.id JOIN wsum w ON w.id = s.src
+    WHERE rp.k < {iters}
+    GROUP BY rp.k, s.dst) c
+  LEFT JOIN sd ON sd.id = c.dst
 )
-SELECT id, round(rank, 5) AS rank FROM r WHERE k = {iters}"""
+SELECT 'uniform' AS variant, id, round(rank, 5) AS rank FROM r WHERE k = {iters}
+UNION ALL
+SELECT 'seeded', id, round(rank, 5) AS rank FROM rp WHERE k = {iters}"""
     )
 
 
