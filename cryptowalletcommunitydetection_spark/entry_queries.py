@@ -1389,20 +1389,37 @@ def q_walks(spark, sf_dir):
     md5_52(walk_id|t|seed) mod degree against the rank-indexed
     adjacency — so every hop, every walk shape and every VALUE of the
     corpus is pinned, strictly stronger than membership/shape
-    properties."""
-    from .graph.walks import random_walks
+    properties. Round-5 second variant: the node2vec REJECTION-SAMPLING
+    rounds (graph/walks.py::node2vec_walks, p=0.5/q=2.0,
+    max_attempts=3) in the same md5_52 mode — the oracle replays every
+    attempt's proposal, the membership classification (EXISTS against
+    the symmetric pair set), the accept coin (md5_52/2^52 < w/w_max)
+    and the first-accepted-else-attempt-0 pick, value for value."""
+    from .graph.walks import node2vec_walks, random_walks
 
-    edges = _cooccur_edges(spark, sf_dir)
-    corpus = random_walks(
-        edges, num_walks=2, walk_length=5, seed=7, transition="md5_52",
-    )
-    return corpus.select(
-        "walk_id",
-        "start",
-        F.concat_ws(
-            ">", F.transform("seq", lambda v: v.cast("string"))
-        ).alias("seq_str"),
-    )
+    edges = _cooccur_edges(spark, sf_dir).persist()
+
+    def fmt(df, tag):
+        return df.select(
+            F.lit(tag).alias("variant"),
+            "walk_id",
+            "start",
+            F.concat_ws(
+                ">", F.transform("seq", lambda v: v.cast("string"))
+            ).alias("seq_str"),
+        )
+
+    try:
+        dw = random_walks(
+            edges, num_walks=2, walk_length=5, seed=7, transition="md5_52",
+        )
+        nv = node2vec_walks(
+            edges, p=0.5, q=2.0, num_walks=1, walk_length=4, seed=11,
+            max_attempts=3, transition="md5_52",
+        )
+        return fmt(dw, "deepwalk").unionByName(fmt(nv, "node2vec"))
+    finally:
+        edges.unpersist()
 
 
 # ------------------------------------------------- rows-only (non-SQL ops)
@@ -2196,17 +2213,75 @@ s{t} AS (SELECT w.walk_id, a.dst AS cur, dg.degree
     )
     return (
         "WITH " + _COOCCUR_SQL + f""",
-sym AS (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce),
-adj AS (SELECT src, dst,
+sym AS MATERIALIZED (SELECT src, dst FROM ce UNION ALL SELECT dst AS src, src AS dst FROM ce),
+adj AS MATERIALIZED (SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank
         FROM sym),
-deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS degree FROM sym GROUP BY 1),
 s0 AS (SELECT d.id::VARCHAR || '#' || k AS walk_id, d.id AS start,
               d.id AS cur, d.degree
        FROM deg d CROSS JOIN (SELECT unnest(range({num_walks})) AS k) ks),"""
         + ",".join(steps)
-        + f"\nSELECT s0.walk_id, s0.start, {sel} AS seq_str FROM s0 {joins}"
+        + _node2vec_replay_ctes()
+        + f"""
+SELECT 'deepwalk' AS variant, s0.walk_id, s0.start, {sel} AS seq_str FROM s0 {joins}
+UNION ALL
+SELECT 'node2vec', n0.walk_id, n0.start, """
+        + " || '>' || ".join(
+            ["n0.cur::VARCHAR"] + [f"n{t}.cur::VARCHAR" for t in range(1, 4)]
+        )
+        + " AS seq_str FROM n0 "
+        + " ".join(
+            f"JOIN n{t} ON n{t}.walk_id = n0.walk_id" for t in range(1, 4)
+        )
     )
+
+
+def _node2vec_replay_ctes(
+    length: int = 4, seed: int = 11, n_att: int = 3,
+    w_ret: float = 2.0, w_stay: float = 1.0, w_far: float = 0.5,
+) -> str:
+    """Full node2vec replay (p=0.5, q=2.0 -> weights 2/1/0.5, w_max=2):
+    per step >= 2, ``n_att`` proposals per walker (choice =
+    md5_52(wid|t|att|seed) mod degree against the rank-indexed
+    adjacency), classified against the symmetric pair set, accepted iff
+    md5_52(wid|t|att|seed|accept)/2^52 < w/w_max, first-accepted kept
+    (rejected attempts order after accepted ones — all-reject falls
+    back to attempt 0, exactly graph/walks.py's min_by order key).
+    Step 1 is the standard single uniform proposal."""
+    w_max = max(w_ret, w_stay, w_far)
+    ctes = ["""
+n0 AS (SELECT d.id::VARCHAR || '#0' AS walk_id, d.id AS start,
+              d.id AS prev, d.id AS cur, d.degree
+       FROM deg d)"""]
+    h1 = _md5_52_int(f"w.walk_id || '|1|0|{seed}'")
+    ctes.append(f"""
+n1 AS MATERIALIZED (SELECT w.walk_id, w.start, w.cur AS prev, a.dst AS cur, dg.degree
+       FROM n0 w
+       JOIN adj a ON a.src = w.cur AND a.rank = {h1} % w.degree
+       JOIN deg dg ON dg.id = a.dst)""")
+    for t in range(2, length):
+        hc = _md5_52_int(f"w.walk_id || '|{t}|' || att.a || '|{seed}'")
+        ha = _md5_52_int(
+            f"w.walk_id || '|{t}|' || att.a || '|{seed}|accept'"
+        )
+        ctes.append(f"""
+n{t} AS MATERIALIZED (
+  SELECT pk.walk_id, pk.start, pk.prev, pk.cur, dg.degree FROM (
+    SELECT w.walk_id, w.start, w.cur AS prev, ad.dst AS cur,
+           row_number() OVER (PARTITION BY w.walk_id ORDER BY
+             CASE WHEN {ha} / 4503599627370496.0 <
+                       (CASE WHEN ad.dst = w.prev THEN {w_ret}
+                             WHEN EXISTS (SELECT 1 FROM sym s
+                                          WHERE s.src = w.prev AND s.dst = ad.dst)
+                             THEN {w_stay} ELSE {w_far} END) / {w_max}
+                  THEN att.a ELSE att.a + {n_att} END) AS rn
+    FROM n{t - 1} w
+    CROSS JOIN (SELECT unnest(range({n_att})) AS a) att
+    JOIN adj ad ON ad.src = w.cur AND ad.rank = {hc} % w.degree) pk
+  JOIN deg dg ON dg.id = pk.cur
+  WHERE pk.rn = 1)""")
+    return "," + ",".join(ctes)
 
 
 _FILES_EDGES_SQL = """

@@ -62,6 +62,31 @@ _COIN_DENOM = 1 << 53
 precision (2^53 distinguishable values — the full double mantissa)."""
 
 
+def _n2v_hash(transition: str, walk_id, t: int, att_col, seed: int,
+              channel: str | None = None):
+    """node2vec per-(step, attempt[, channel]) hash as a column.
+
+    xxhash64 mode: ``xxhash64(walk_id, t, att, seed[, channel])`` — the
+    production projection (kernel-replayable). md5_52 mode: first 13
+    hex chars of ``md5(walk_id|t|att|seed[|channel])`` — the
+    DuckDB-recomputable oracle twin (channelled like the 'coin'
+    convention; coins divide by 2^52 instead of 2^53)."""
+    if transition == "xxhash64":
+        args = [walk_id, F.lit(t), att_col, F.lit(seed)]
+        if channel is not None:
+            args.append(F.lit(channel))
+        return F.xxhash64(*args)
+    parts = [
+        walk_id, F.lit(t).cast("string"), att_col.cast("string"),
+        F.lit(seed).cast("string"),
+    ]
+    if channel is not None:
+        parts.append(F.lit(channel))
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 13), 16, 10
+    ).cast("long")
+
+
 def _transition_hash(transition: str, walk_id, t: int, seed: int):
     """The step-t transition hash as a column expression.
 
@@ -1181,6 +1206,7 @@ def node2vec_walks(
     strategy: str | None = None,
     max_attempts: int | None = None,
     adjacency: DataFrame | None = None,
+    transition: str = "xxhash64",
 ) -> DataFrame:
     """node2vec biased corpus (Grover & Leskovec 2016):
     DataFrame[walk_id, start, seq].
@@ -1245,6 +1271,19 @@ def node2vec_walks(
         raise ValueError(
             "strategy must be None, 'local', 'broadcast' or 'shuffle'"
         )
+    if transition not in ("xxhash64", "md5_52"):
+        raise ValueError("transition must be 'xxhash64' or 'md5_52'")
+    if transition != "xxhash64":
+        # the DuckDB-oracle twin (see random_walks): distributed
+        # unweighted strategies only
+        if weighted:
+            raise ValueError(
+                "transition='md5_52' supports unweighted walks only"
+            )
+        if strategy == "local":
+            raise ValueError(
+                "the local kernel replays the xxhash64 chain only"
+            )
 
     import math
 
@@ -1291,7 +1330,8 @@ def node2vec_walks(
             # boundary.
             fr_rows = verts.count() * num_walks
             if (
-                fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
+                transition == "xxhash64"
+                and fr_rows * walk_length <= LOCAL_WALK_MAX_STEP_ROWS
                 and 2 * canon.count() <= LOCAL_WALK_MAX_ADJ_ROWS
             ):
                 strategy = "local"
@@ -1429,8 +1469,8 @@ def node2vec_walks(
                 "cur",
                 "att",
                 F.pmod(
-                    F.xxhash64(
-                        F.col("walk_id"), F.lit(t), F.col("att"), F.lit(seed)
+                    _n2v_hash(
+                        transition, F.col("walk_id"), t, F.col("att"), seed
                     ),
                     F.col("cur_degree"),
                 ).cast("int").alias("choice"),
@@ -1490,16 +1530,23 @@ def node2vec_walks(
                     .when(F.col("_is_local"), F.lit(w_stay))
                     .otherwise(F.lit(w_far))
                 )
-                coin = (
-                    F.pmod(
-                        F.xxhash64(
-                            F.col("walk_id"), F.lit(t), F.col("att"),
-                            F.lit(seed), F.lit("accept"),
-                        ),
-                        F.lit(_COIN_DENOM),
+                if transition == "xxhash64":
+                    coin = (
+                        F.pmod(
+                            F.xxhash64(
+                                F.col("walk_id"), F.lit(t), F.col("att"),
+                                F.lit(seed), F.lit("accept"),
+                            ),
+                            F.lit(_COIN_DENOM),
+                        )
+                        / F.lit(float(_COIN_DENOM))
                     )
-                    / F.lit(float(_COIN_DENOM))
-                )
+                else:
+                    # md5_52 values are already 52-bit: divide by 2^52
+                    coin = _n2v_hash(
+                        transition, F.col("walk_id"), t, F.col("att"),
+                        seed, "accept",
+                    ) / F.lit(float(1 << 52))
                 accepted = coin < w / F.lit(w_max)
                 order = F.when(accepted, F.col("att")).otherwise(
                     F.col("att") + F.lit(n_att)
