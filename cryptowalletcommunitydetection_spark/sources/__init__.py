@@ -6,3 +6,4 @@ from .edge_log import (  # noqa: F401
 )
 from .files import read_files, read_wallet_pairs_csv, write_files  # noqa: F401
 from .sinks import quarantine_sink, write_groups  # noqa: F401
+from .enrich import batched_enrich  # noqa: F401
