@@ -581,17 +581,9 @@ def q_group_agg(spark, sf_dir):
     )
 
 
-def q_asof_last(spark, sf_dir):
-    """W1: last event at/before a cutoff per user (as-of lookup)."""
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-    )
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "value")
-    )
+# (q_asof_last was removed with its round-5 gate swap — W1's machinery
+# stays covered by top1_per_group/recency_filter and
+# functions/timeseries.py tests)
 
 
 # ----------------------------------------------------- dedup / text / ann
@@ -1119,30 +1111,8 @@ FROM part
 """
 
 
-def q_csv_wallet_pairs(spark, sf_dir):
-    """S5: the reference fixture CSV source end to end — pairs written as
-    a header CSV with the fixture schema (index, x, y), read back through
-    read_wallet_pairs_csv (schema-pinned read + F1 lowercasing); the
-    oracle re-derives the pairs relationally. Mixed-case addresses make
-    the normalization observable."""
-    import shutil
-    import tempfile
-
-    from .sources.files import read_wallet_pairs_csv
-
-    c = _t(spark, sf_dir, "customer")
-    pairs = c.select(
-        F.col("c_custkey").cast("long").alias("index"),
-        F.concat(F.lit("0xAbC"), F.col("c_custkey").cast("string")).alias("x"),
-        F.concat(F.lit("0xDeF"), F.col("c_nationkey").cast("string")).alias("y"),
-    )
-    d = tempfile.mkdtemp(prefix="csv_gate_")
-    try:
-        pairs.coalesce(1).write.mode("overwrite").csv(f"{d}/pairs", header=True)
-        out = read_wallet_pairs_csv(spark, f"{d}/pairs")
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+# (q_csv_wallet_pairs was removed with its round-5 gate swap — S5's
+# header-CSV roundtrip stays pytest-green in test_rollup/test_plan_audit)
 
 
 def q_asof_join(spark, sf_dir):
@@ -1611,7 +1581,7 @@ def q_files_edge_derivation(spark, sf_dir):
     re-derives the same edges with regexp_extract_all + a self-join.
     (The synthetic files-table path with the import-statement pattern
     keeps its pure-Python oracle in tests/test_edges.py.)"""
-    from .graph.edges import cooccurrence_edges, symmetrize, extract_entities
+    from .graph.edges import cooccurrence_edges, extract_entities
 
     corpus = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("repo"),

@@ -209,6 +209,11 @@ def _sharded_deepwalk(
         Window.orderBy(F.desc("_n"), "component")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # dense_rank over the floor-bucketed ids: a component LARGER than
+    # the bound makes floor(cumsum/bound) skip values, and iterating a
+    # plain range would fit Word2Vec on the empty gap shard (crash on
+    # zero sentences — round-5 review); dense ids enumerate exactly
+    # the non-empty shards
     amap = (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -216,16 +221,25 @@ def _sharded_deepwalk(
             "component",
             F.floor(
                 F.coalesce(F.sum("_n").over(w), F.lit(0)) / F.lit(bound)
+            ).alias("_bucket"),
+        )
+        .select(
+            "component",
+            (
+                F.dense_rank().over(Window.orderBy("_bucket")) - F.lit(1)
             ).alias("_shard"),
         )
         .persist()
     )
     n_shards = int(amap.agg(F.max("_shard")).collect()[0][0]) + 1
+    # assign walks to components by their FIRST sequence element (walks
+    # never leave a component), so any corpus with a `seq` column works
+    # — the documented contract — whether or not it carries walk_id
     tagged = (
-        corpus.select("walk_id", "start", "seq")
-        .join(
-            cc.select(F.col("id").alias("start"), "component"), "start"
+        corpus.select(
+            F.element_at("seq", 1).alias("_start"), "seq"
         )
+        .join(cc.select(F.col("id").alias("_start"), "component"), "_start")
         .join(F.broadcast(amap), "component")
         .select(
             "_shard",

@@ -660,12 +660,29 @@ def _alias_core(seg_keys, w):
     if len(li) and len(hv):
 
         def seg_cum(vals, segs):
-            # inclusive segmented cumsum (segs grouped, nondecreasing)
-            c = np.cumsum(vals)
+            # EXACT inclusive segmented cumsum (segs grouped,
+            # nondecreasing): segments are grouped by length and each
+            # length class cumsums as rows of a 2D reshape, so every
+            # segment's prefix sums involve ONLY its own elements. The
+            # tempting one-liner — global cumsum minus the offset at
+            # each segment start — leaks O(eps) cross-segment residue
+            # into D/S, and the donor/finalize pairing resolves exact
+            # D == S ties (common with integer weights, where scaled
+            # lands exactly on 1.0) on that noise: measured up to 0.12
+            # absolute marginal error and partitioning-dependent
+            # tables before the fix (round-5 review).
+            n_v = len(vals)
+            out = np.empty_like(vals)
             nf = np.r_[True, segs[1:] != segs[:-1]]
-            first = np.flatnonzero(nf)
-            offs = np.concatenate(([0.0], c[first[1:] - 1]))
-            return c - offs[np.cumsum(nf) - 1]
+            starts = np.flatnonzero(nf)
+            lens = np.diff(np.r_[starts, n_v])
+            for L in np.unique(lens):
+                sel = starts[lens == L]
+                idx = sel[:, None] + np.arange(L)[None, :]
+                out[idx.reshape(-1)] = np.cumsum(
+                    vals[idx], axis=1
+                ).reshape(-1)
+            return out
 
         d = 1.0 - scaled[li]
         D_inc = seg_cum(d, seg[li])
@@ -676,53 +693,70 @@ def _alias_core(seg_keys, w):
         h_first = np.r_[0, np.cumsum(h_cnt)][:-1]  # seg -> first idx in hv
         l_first = np.r_[0, np.cumsum(l_cnt)][:-1]
 
-        # BOTH cross-stream lookups from ONE merged segment-order sort
-        # (entries: light D_exc / light D_inc / heavy S; light entries
-        # sort before a tied heavy, so "S strictly < D_exc" and
-        # "D_inc <= S" both fall out of plain before-counts):
-        # - donor of light i = first heavy with S >= D_exc
-        #   = # S entries before its D_exc entry
-        # - heavy j finalizes at the first light with D_inc > S_j
-        #   = # D_inc entries before its S entry
+        # DONOR search — the single source of truth. Merged segment-
+        # order sort of light D_exc events against heavy S events
+        # (light before a tied heavy, so "S strictly < D_exc" is a
+        # plain before-count): light i's donor = first heavy with
+        # S >= D_exc_i.
         n_l, n_h = len(li), len(hv)
-        segs_m = np.concatenate([seg[li], seg[li], seg[hv]])
-        vals_m = np.concatenate([D_exc, D_inc, S_inc])
-        kind_m = np.concatenate([
-            np.zeros(n_l, dtype=np.int8),
-            np.ones(n_l, dtype=np.int8),
-            np.full(n_h, 2, dtype=np.int8),
-        ])
-        ties_m = (kind_m == 2).view(np.int8)  # lights 0, heavies 1
+        segs_m = np.concatenate([seg[li], seg[hv]])
+        vals_m = np.concatenate([D_exc, S_inc])
+        ties_m = np.concatenate(
+            [np.zeros(n_l, dtype=np.int8), np.ones(n_h, dtype=np.int8)]
+        )
+        is_h = ties_m.astype(np.int64)
         order = np.lexsort((ties_m, vals_m, segs_m))
-        k_s = kind_m[order]
+        is_h_s = is_h[order]
         segs_s = segs_m[order]
-        is_S = (k_s == 2).astype(np.int64)
-        is_Di = (k_s == 1).astype(np.int64)
-        cS = np.cumsum(is_S)
-        cD = np.cumsum(is_Di)
+        cH = np.cumsum(is_h_s)
         nf = np.r_[True, segs_s[1:] != segs_s[:-1]]
         first = np.flatnonzero(nf)
-        baseS = np.concatenate(([0], cS[first[1:] - 1]))
-        baseD = np.concatenate(([0], cD[first[1:] - 1]))
-        segloc = np.cumsum(nf) - 1
-        S_before = cS - is_S - baseS[segloc]
-        D_before = cD - is_Di - baseD[segloc]
+        baseH = np.concatenate(([0], cH[first[1:] - 1]))
+        H_before = cH - is_h_s - baseH[np.cumsum(nf) - 1]
         inv_o = np.empty(len(order), dtype=np.int64)
         inv_o[order] = np.arange(len(order))
-        j_ord = S_before[inv_o[:n_l]]
-        i_ord = D_before[inv_o[2 * n_l:]]
+        j_ord = H_before[inv_o[:n_l]]
 
         okl = h_cnt[seg[li]] > 0  # float-noise all-light segments: self
         li_ok = li[okl]
         j_ok = np.minimum(j_ord[okl], h_cnt[seg[li_ok]] - 1)  # noise clip
         prob[li_ok] = scaled[li_ok]
         alias_row[li_ok] = hv[h_first[seg[li_ok]] + j_ok]
-        hv_rank = np.arange(len(hv), dtype=np.int64) - h_first[seg[hv]]
-        fin = (i_ord < l_cnt[seg[hv]]) & (hv_rank + 1 < h_cnt[seg[hv]])
+
+        # FINALIZATION is DERIVED from the donor assignment, not a
+        # second independent search: heavy j retains
+        # 1 + S_j - D_inc[last light assigned to heavies <= j] and is
+        # finalized (aliased to the segment's next heavy) iff that
+        # retention is < 1. With every term reading the SAME
+        # D_inc[L(j)] values, the per-heavy marginal telescopes to
+        # 1 + S_j - S_{j-1} = scaled_j up to ulps REGARDLESS of where
+        # float tie-resolution placed each light — two independent
+        # searches could disagree at exact-rational ties (integer
+        # weights put scaled exactly on 1.0) and mispair O(d_i) mass
+        # (round-5 review; regression-fuzzed in test_walks).
+        if len(li_ok):
+            flat = h_first[seg[li_ok]] + j_ok       # donor idx into hv
+            per_h = np.bincount(flat, minlength=n_h)
+        else:
+            per_h = np.zeros(n_h, dtype=np.int64)
+        # integer cumulative within segment: global cumsum minus the
+        # per-segment base is EXACT for ints
+        cc = np.cumsum(per_h)
+        h_nf = np.r_[True, seg[hv][1:] != seg[hv][:-1]]
+        h_base = np.concatenate(([0], cc[np.flatnonzero(h_nf)[1:] - 1]))
+        cum_cnt = cc - h_base[np.cumsum(h_nf) - 1]
+        hv_rank = np.arange(n_h, dtype=np.int64) - h_first[seg[hv]]
+        has_any = cum_cnt > 0
+        Lidx = l_first[seg[hv]] + np.maximum(cum_cnt - 1, 0)
+        D_val = D_inc[np.minimum(Lidx, max(n_l - 1, 0))]
+        fin = (
+            has_any
+            & (hv_rank + 1 < h_cnt[seg[hv]])
+            & (S_inc < D_val)
+        )
         fi = np.flatnonzero(fin)
         if len(fi):
-            D_star = D_inc[l_first[seg[hv[fi]]] + i_ord[fi]]
-            prob[hv[fi]] = np.clip(1.0 + S_inc[fi] - D_star, 0.0, 1.0)
+            prob[hv[fi]] = np.clip(1.0 + S_inc[fi] - D_val[fi], 0.0, 1.0)
             alias_row[hv[fi]] = hv[fi + 1]
     return prob, alias_row, rank
 

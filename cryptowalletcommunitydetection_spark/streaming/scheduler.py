@@ -75,15 +75,21 @@ class SchedulerSpec:
         )
 
     def next_fire(self, now: int) -> int | None:
-        """The interval-aligned fire time strictly after ``now``:
-        ``floor(now / interval) * interval + interval + delay`` — the
-        reference's ``round_timestamp(now, interval) + interval``
-        (utils/repeat_handler.py:54-61) plus the scheduler string's
-        start delay. None when the spec does not repeat or the next
-        boundary passes ``end_timestamp``."""
+        """The earliest fire time ``k*interval + delay`` STRICTLY after
+        ``now`` — the reference's interval-aligned
+        ``round_timestamp(now, interval) + interval``
+        (utils/repeat_handler.py:54-61) shifted by the scheduler
+        string's delay. Computed over delay-shifted coordinates so a
+        caller landing INSIDE the (boundary, boundary+delay) gap still
+        gets that boundary's pending delayed fire rather than skipping
+        a window (round-5 review). None when the spec does not repeat
+        or the fire time passes ``end_timestamp``."""
         if self.interval is None:
             return None
-        nxt = (now // self.interval) * self.interval + self.interval + self.delay
+        nxt = (
+            (now - self.delay) // self.interval * self.interval
+            + self.interval + self.delay
+        )
         if self.end_timestamp is not None and nxt > self.end_timestamp:
             return None
         return nxt
@@ -97,7 +103,11 @@ class SchedulerSpec:
         if self.interval is None:
             return []
         out = []
-        lo = (last_synced // self.interval) * self.interval
+        # first ALIGNED boundary at/after the cursor: flooring an
+        # unaligned cursor would re-emit its window's already-synced
+        # prefix into the sinks (round-5 review) — a mid-window cursor
+        # resumes at the next boundary instead
+        lo = -(-last_synced // self.interval) * self.interval
         while lo + self.interval <= now:
             hi = lo + self.interval
             if self.end_timestamp is not None and hi > self.end_timestamp:

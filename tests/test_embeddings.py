@@ -108,6 +108,35 @@ def test_sharded_training_matches_per_component(spark):
             assert np.array_equal(got[k], alone[k])
 
 
+def test_sharded_oversized_component_and_seq_only_corpus(spark):
+    """Round-5 regression (review findings): (a) a component LARGER
+    than the bound must train alone — the floor-bucketed shard ids
+    skip values there, and iterating a plain range crashed Word2Vec on
+    the empty gap shard; (b) the documented 'any DataFrame with a seq
+    column' corpus contract must survive sharding (walks are assigned
+    to components by their first element, not by a walk_id/start
+    column the corpus may not have)."""
+    from pyspark.sql import functions as F
+
+    big = datagen.clique(11)                                   # 0..10
+    small = [(s + 11, d + 11) for s, d in datagen.clique(6)]   # 11..16
+    edges = datagen.edges_df(spark, big + small)
+    kw = dict(dim=8, num_walks=2, walk_length=6, seed=5, max_iter=1,
+              num_partitions=1)
+    out = deepwalk_embeddings(edges, shard_vocab_above=5, **kw)
+    got = {r["id"] for r in out.select("id").collect()}
+    assert got == set(range(17))  # both shards trained, none empty
+    # seq-only corpus through the sharded path
+    corpus = random_walks(edges, num_walks=2, walk_length=6, seed=5)
+    seq_only = corpus.select("seq")
+    out2 = deepwalk_embeddings(
+        edges, corpus=seq_only, shard_vocab_above=5, **kw
+    )
+    vec1 = {r["id"]: tuple(r["embedding"]) for r in out.collect()}
+    vec2 = {r["id"]: tuple(r["embedding"]) for r in out2.collect()}
+    assert vec1 == vec2  # same corpus -> bit-identical per shard
+
+
 def test_default_is_data_parallel(spark):
     """The default (num_partitions=None) resolves to
     defaultParallelism — the scalable mode — and keeps the geometry

@@ -36,7 +36,11 @@ def test_next_fire_interval_aligned():
     assert sp.next_fire(3600) == 7200  # strictly after: next boundary
     assert sp.next_fire(7205) == 10800
     spd = SchedulerSpec.parse("^true@3600/60$#true")
-    assert spd.next_fire(0) == 3660
+    assert spd.next_fire(0) == 60       # boundary 0's delayed fire
+    assert spd.next_fire(60) == 3660
+    # round-5 regression: a caller inside the (boundary, boundary+delay)
+    # gap must get the PENDING delayed fire, not skip the window
+    assert spd.next_fire(3620) == 3660
     spe = SchedulerSpec.parse("^true@3600/$7200#true")
     assert spe.next_fire(0) == 3600
     assert spe.next_fire(3600) == 7200
@@ -47,6 +51,9 @@ def test_due_windows_catch_up():
     sp = SchedulerSpec.parse("^true@3600/$#true")
     assert sp.due_windows(0, 7300) == [(0, 3600), (3600, 7200)]
     assert sp.due_windows(3700, 7199) == []  # window [3600,7200) incomplete
+    # round-5 regression: a mid-window cursor resumes at the NEXT
+    # aligned boundary — never re-emits its window's synced prefix
+    assert sp.due_windows(3700, 11000) == [(7200, 10800)]
     spe = SchedulerSpec.parse("^true@3600/$7200#true")
     assert spe.due_windows(0, 90000) == [(0, 3600), (3600, 7200)]
     assert SchedulerSpec.parse("^true@/$#true").due_windows(0, 10**6) == []

@@ -563,6 +563,48 @@ def test_walk_plans_pure_jvm(spark):
     assert "MapInPandas" in alias_plan
 
 
+def test_alias_core_integer_weight_fuzz():
+    """Round-5 regression (review finding): with many vertices in ONE
+    partition and small-integer weights, `scaled` lands exactly on 1.0
+    and the donor/finalize pairing resolves exact D == S ties — a
+    segmented cumsum with cross-segment float residue mispaired ~6% of
+    integer-weight vectors (marginal errors up to 0.12). Fuzz the raw
+    kernel over many multi-vertex partitions: Walker marginals must be
+    exact for every vertex, and each vertex's table must be identical
+    no matter which other segments share its partition."""
+    import numpy as np
+
+    from cryptowalletcommunitydetection_spark.graph.walks import _alias_core
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n_seg = int(rng.integers(2, 60))
+        lens = rng.integers(1, 9, n_seg)
+        seg = np.repeat(np.arange(n_seg), lens)
+        w = rng.integers(1, 7, len(seg)).astype(np.float64)
+        prob, alias_row, rank = _alias_core(seg, w)
+        assert ((prob >= 0.0) & (prob <= 1.0)).all()
+        # exact marginal per vertex
+        start = 0
+        for s, L in enumerate(lens):
+            rows = np.arange(start, start + L)
+            marg = np.zeros(L)
+            for r in rows:
+                marg[r - start] += prob[r] / L
+                marg[alias_row[r] - start] += (1.0 - prob[r]) / L
+                assert seg[alias_row[r]] == s  # alias never crosses
+            np.testing.assert_allclose(
+                marg, w[rows] / w[rows].sum(), atol=1e-12,
+                err_msg=f"trial {trial} segment {s} weights {w[rows]}",
+            )
+            # partitioning invariance: the segment alone produces the
+            # same table (alias rows rebased)
+            p1, a1, _ = _alias_core(np.zeros(L, dtype=np.int64), w[rows])
+            np.testing.assert_array_equal(prob[rows], p1)
+            np.testing.assert_array_equal(alias_row[rows] - start, a1)
+            start += L
+
+
 def test_alias_tables_hub_vectorized(spark):
     """A 10^5-degree weighted hub builds through the vectorized
     partition kernel in seconds (the former per-element Python loop
